@@ -1,0 +1,179 @@
+"""YAML trait-spec model: the declarative surface of the engine.
+
+Mirrors the reference's data-dictionary keys (pysemantic/validator.py ::
+SchemaValidator traits — path, delimiter, header, column_names, use_columns,
+exclude_columns, dtypes, na_values, nrows, md5; per-column rules from
+SeriesValidator — is_drop_na, is_drop_duplicates, min, max, regex,
+unique_values, exclude; DataFrameValidator rules — drop_duplicates, drop_na),
+plus the scale-era additions the north_star requires: composite-key
+uniqueness, referential integrity vs dimension tables, and distribution-drift
+baselines.
+
+Specs validate eagerly at construction (the reference raises TraitError on a
+bad dictionary; we raise SpecValidationError with the same timing).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+from dataclasses import dataclass, field
+from typing import Any
+
+import yaml
+
+from pysemantic_spark.errors import SpecValidationError
+
+# Accepted dtype aliases → canonical Spark-ish type names.
+_DTYPE_ALIASES: dict[Any, str] = {
+    "str": "string", "string": "string", str: "string",
+    "int": "int", "integer": "int", "int32": "int", int: "int",
+    "long": "long", "int64": "long", "bigint": "long",
+    "float": "double", "double": "double", "float64": "double", float: "double",
+    "float32": "float",
+    "bool": "boolean", "boolean": "boolean", bool: "boolean",
+    "datetime": "timestamp", "timestamp": "timestamp", _dt.date: "timestamp",
+    "date": "date", _dt.datetime: "timestamp",
+}
+
+
+def canonical_dtype(value: Any) -> str:
+    key = value.strip().lower() if isinstance(value, str) else value
+    try:
+        return _DTYPE_ALIASES[key]
+    except (KeyError, TypeError):
+        raise SpecValidationError(f"unsupported dtype in spec: {value!r}") from None
+
+
+@dataclass
+class ColumnRules:
+    """Per-column rule set (reference: SeriesValidator traits)."""
+
+    column: str
+    is_drop_na: bool = False
+    is_drop_duplicates: bool = False
+    min: Any = None
+    max: Any = None
+    regex: str | None = None
+    unique_values: list[Any] | None = None
+    exclude: list[Any] | None = None
+    na_values: list[Any] | None = None
+    # north_star addition: {"table": name-or-path, "column": colname}
+    reference: dict[str, str] | None = None
+    # named converter/postprocessor fns resolved from a user-supplied registry
+    converters: list[str] = field(default_factory=list)
+    postprocessors: list[str] = field(default_factory=list)
+
+    def __post_init__(self) -> None:
+        if self.min is not None and self.max is not None:
+            try:
+                if self.min > self.max:
+                    raise SpecValidationError(
+                        f"column {self.column!r}: min ({self.min!r}) > max ({self.max!r})"
+                    )
+            except TypeError:
+                raise SpecValidationError(
+                    f"column {self.column!r}: min/max not comparable"
+                ) from None
+        if self.unique_values is not None and not isinstance(self.unique_values, list):
+            raise SpecValidationError(
+                f"column {self.column!r}: unique_values must be a list"
+            )
+        if self.reference is not None:
+            if not {"table", "column"} <= set(self.reference):
+                raise SpecValidationError(
+                    f"column {self.column!r}: reference needs 'table' and 'column'"
+                )
+
+    @classmethod
+    def from_dict(cls, column: str, d: dict[str, Any]) -> "ColumnRules":
+        known = {f for f in cls.__dataclass_fields__ if f != "column"}
+        unknown = set(d) - known
+        if unknown:
+            raise SpecValidationError(
+                f"column {column!r}: unknown rule keys {sorted(unknown)}"
+            )
+        return cls(column=column, **d)
+
+
+@dataclass
+class DriftSpec:
+    """Distribution-drift check config (north_star addition)."""
+
+    columns: list[str]
+    baseline: str | None = None  # path to a baseline sketch JSON
+    n_bins: int = 64
+    ks_threshold: float = 0.1
+    psi_threshold: float = 0.2
+
+
+@dataclass
+class DatasetSpec:
+    """One dataset's full spec (reference: one YAML data-dictionary entry)."""
+
+    name: str
+    path: str | list[str] | None = None
+    format: str | None = None  # csv|tsv|parquet|table ; inferred from path ext
+    delimiter: str = ","
+    header: int | None = 0
+    column_names: list[str] | dict[str, str] | None = None
+    use_columns: list[str] | None = None
+    exclude_columns: list[str] | None = None
+    dtypes: dict[str, str] = field(default_factory=dict)
+    na_values: list[Any] | None = None
+    nrows: int | None = None
+    ncols: int | None = None
+    md5: str | None = None
+    drop_duplicates: bool = False  # df-level (reference: dataframe_rules)
+    drop_na: bool = False
+    column_rules: dict[str, ColumnRules] = field(default_factory=dict)
+    # list of composite keys, e.g. [["conv_id","turn_idx"]]
+    uniqueness: list[list[str]] = field(default_factory=list)
+    drift: DriftSpec | None = None
+    # deterministic tie-break ordering for keep-first dedup, e.g. ["ts"]
+    order_by: list[str] = field(default_factory=list)
+    postprocessors: list[str] = field(default_factory=list)
+
+    def __post_init__(self) -> None:
+        if self.nrows is not None and (not isinstance(self.nrows, int) or self.nrows <= 0):
+            raise SpecValidationError(f"nrows must be a natural number, got {self.nrows!r}")
+        if self.ncols is not None and (not isinstance(self.ncols, int) or self.ncols <= 0):
+            raise SpecValidationError(f"ncols must be a natural number, got {self.ncols!r}")
+        self.dtypes = {c: canonical_dtype(t) for c, t in (self.dtypes or {}).items()}
+        for key in self.uniqueness:
+            if not isinstance(key, list) or not key:
+                raise SpecValidationError(f"uniqueness entries must be non-empty lists: {key!r}")
+
+    @classmethod
+    def from_dict(cls, name: str, d: dict[str, Any]) -> "DatasetSpec":
+        d = dict(d)
+        col_rules_raw = d.pop("column_rules", {}) or {}
+        if not isinstance(col_rules_raw, dict):
+            raise SpecValidationError(f"{name}: column_rules must be a mapping")
+        drift_raw = d.pop("drift", None)
+        # tolerate reference spelling `dataframe_rules: {drop_duplicates: {}, drop_na: {}}`
+        df_rules = d.pop("dataframe_rules", None)
+        if df_rules:
+            if "drop_duplicates" in df_rules:
+                d["drop_duplicates"] = True
+            if "drop_na" in df_rules:
+                d["drop_na"] = True
+        known = {f for f in cls.__dataclass_fields__ if f != "name"}
+        unknown = set(d) - known
+        if unknown:
+            raise SpecValidationError(f"{name}: unknown spec keys {sorted(unknown)}")
+        spec = cls(name=name, **d)
+        spec.column_rules = {
+            c: ColumnRules.from_dict(c, r or {}) for c, r in col_rules_raw.items()
+        }
+        if drift_raw:
+            spec.drift = DriftSpec(**drift_raw)
+        return spec
+
+
+def load_spec_file(path: str) -> dict[str, DatasetSpec]:
+    """Parse a YAML data dictionary: {dataset_name: spec, ...}."""
+    with open(path) as f:
+        raw = yaml.safe_load(f)
+    if not isinstance(raw, dict):
+        raise SpecValidationError(f"spec file {path} must be a mapping of datasets")
+    return {name: DatasetSpec.from_dict(name, d or {}) for name, d in raw.items()}
