@@ -1,38 +1,481 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry exercises one operator family from SURVEY.md §2
+through the pysemantic_spark engine; ``oracle_sql()`` holds the equivalent
+DuckDB SQL over the same parquet views. Column names/aliases match exactly
+between the two (driver hashes values after sorting columns by name).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pysemantic_spark.functions.text import (
+    LANG_MARKERS,
+    distinct_token_count,
+    fingerprint,
+    lang_id,
+    mean_token_length,
+    token_count,
+)
+from pysemantic_spark.operators import dedup, similarity
+from pysemantic_spark.operators.runner import validate
+from pysemantic_spark.spec import DatasetSpec
+
+
+def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# Validation-engine queries (SURVEY.md §2.2/§2.3 rule operators)
+# ---------------------------------------------------------------------------
+
+_LINEITEM_SPEC = {
+    "column_rules": {
+        "l_quantity": {"min": 5, "max": 45},
+        "l_discount": {"min": 0.01},
+        "l_shipdate": {"max": "2000-12-31 00:00:00"},
+    },
+    "uniqueness": [["l_orderkey", "l_linenumber"]],
+    "order_by": ["l_linenumber"],
+}
+
+
+def q_stats_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide per-column stats agg (C-rules stat side; SURVEY §2.5 aggs)."""
+    li = _read(spark, sf_dir, "lineitem")
+    res = validate(spark, li, DatasetSpec.from_dict("lineitem", _LINEITEM_SPEC))
+    return (
+        res.stats.filter(
+            F.col("column").isin("l_quantity", "l_extendedprice", "l_discount")
+        )
+        .select(
+            "column",
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.col("n_nulls").cast("long").alias("n_nulls"),
+            F.col("min").cast("double").alias("min_v"),
+            F.col("max").cast("double").alias("max_v"),
+        )
+    )
+
+
+def q_range_violations_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """min/max range checks → violation rows (C4/C5)."""
+    li = _read(spark, sf_dir, "lineitem")
+    res = validate(spark, li, DatasetSpec.from_dict("lineitem", _LINEITEM_SPEC))
+    return res.violations.select("l_orderkey", "l_linenumber", "check_name")
+
+
+def q_levels_violations_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """categorical levels + exclude checks (C7/C8)."""
+    orders = _read(spark, sf_dir, "orders")
+    spec = DatasetSpec.from_dict(
+        "orders",
+        {
+            "column_rules": {
+                "o_orderstatus": {"unique_values": ["O", "F"], "exclude": ["P"]},
+            },
+            "uniqueness": [["o_orderkey"]],
+        },
+    )
+    res = validate(spark, orders, spec)
+    return res.violations.select("o_orderkey", "check_name")
+
+
+def q_regex_null_violations_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """regex + not-null + min checks on events (C2/C4/C6)."""
+    ev = _read(spark, sf_dir, "events")
+    spec = DatasetSpec.from_dict(
+        "events",
+        {
+            "column_rules": {
+                "event_type": {"regex": "^(click|view|purchase)$", "is_drop_na": True},
+                "value": {"min": 1.0},
+            },
+            "uniqueness": [["event_id"]],
+        },
+    )
+    res = validate(spark, ev, spec)
+    return res.violations.select("event_id", "check_name")
+
+
+def q_unique_key_dupes_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """uniqueness via sort-merge dedup counts (C3)."""
+    li = _read(spark, sf_dir, "lineitem")
+    return dedup.exact_duplicates(li, ["l_orderkey"]).select(
+        "l_orderkey", F.col("dup_count").cast("long").alias("dup_count")
+    )
+
+
+def q_referential_violations_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """referential integrity via broadcast anti-join (north_star join op)."""
+    ev = _read(spark, sf_dir, "events")
+    valid_users = _read(spark, sf_dir, "customer").filter(F.col("c_custkey") < 100)
+    spec = DatasetSpec.from_dict(
+        "events",
+        {
+            "column_rules": {
+                "user_id": {"reference": {"table": "valid_users", "column": "c_custkey"}},
+            },
+            "uniqueness": [["event_id"]],
+        },
+    )
+    res = validate(spark, ev, spec, dims={"valid_users": valid_users})
+    return res.violations.select("event_id", "check_name")
+
+
+def q_partition_report_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """per-partition pass/fail rows (north_star sink shape)."""
+    orders = _read(spark, sf_dir, "orders")
+    spec = DatasetSpec.from_dict(
+        "orders",
+        {"column_rules": {"o_orderstatus": {"unique_values": ["O", "F"]}}},
+    )
+    res = validate(
+        spark, orders, spec, bucket_expr=F.pmod(F.col("o_orderkey"), F.lit(16)).cast("int")
+    )
+    return res.partition_report.select(
+        F.col("bucket").cast("int").alias("bucket"),
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("n_violating_rows").cast("long").alias("n_violating_rows"),
+        "passed",
+    )
+
+
+def q_dedup_keep_first_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """window-function dedup-keep-first (SURVEY §2.5 window op)."""
+    ev = _read(spark, sf_dir, "events")
+    first = dedup.exact_dedup_keep_first(ev, ["user_id"], ["ts", "event_id"])
+    return first.select("user_id", "event_id")
+
+
+def q_top_events_by_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sort + limit (top-k violation-sample shape)."""
+    ev = _read(spark, sf_dir, "events")
+    return (
+        ev.orderBy(F.col("value").desc(), F.col("event_id").asc())
+        .select("event_id", F.round("value", 2).alias("value_r"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline queries (dedup / similarity / text analysis)
+# ---------------------------------------------------------------------------
+
+def q_text_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """token counting + fingerprinting (text-analysis ops)."""
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        distinct_token_count("text").alias("n_distinct_tokens"),
+        F.round(mean_token_length("text"), 6).alias("mean_token_len"),
+        fingerprint("text").alias("fp"),
+    )
+
+
+def q_lang_id_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """language-ID heuristic vs labeled lang (text-analysis op)."""
+    docs = _read(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", lang_id("text").alias("pred_lang"))
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_top_docs_by_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", token_count("text").alias("n_tokens"))
+        .orderBy(F.col("n_tokens").desc(), F.col("doc_id").asc())
+        .limit(10)
+    )
+
+
+def q_ngram_jaccard_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """exact n-gram Jaccard near-dup pairs via shared-shingle join."""
+    docs = _read(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.12, max_shingle_freq=100
+    )
+
+
+def q_fingerprint_dupes_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """exact text dedup groups via md5 fingerprint."""
+    docs = _read(spark, sf_dir, "documents")
+    return dedup.text_fingerprint_duplicates(docs, "doc_id", "text").select(
+        "fp", F.col("dup_count").cast("long").alias("dup_count")
+    )
+
+
+def q_minhash_lsh_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates, exact-Jaccard verified (rows-only
+    oracle: hash functions are engine-specific)."""
+    docs = _read(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(
+        docs, "doc_id", "text", n=3, num_hashes=64, bands=32, threshold=0.12
+    )
+
+
+def q_simhash_neardups_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (rows-only oracle)."""
+    docs = _read(spark, sf_dir, "documents")
+    return dedup.simhash_near_dup_pairs(docs, "doc_id", "text", max_hamming=8)
+
+
+def q_cosine_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """brute-force cosine top-k similarity search."""
+    emb = _read(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.cosine_topk(emb, queries, k=5)
+
+
+def q_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embedding-cosine near-dup pairs via LSH buckets (rows-only oracle)."""
+    emb = _read(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    return similarity.embedding_near_dup_pairs(
+        emb, dim=64, threshold=0.5, n_planes=6
+    )
+
+
+# ---------------------------------------------------------------------------
+# Driver contract
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full validation check suite on sf0.001 lineitem —
+    violation counts per check."""
+    sf_dir = "/root/testdata/sf0.001"
+    li = _read(spark, sf_dir, "lineitem")
+    res = validate(spark, li, DatasetSpec.from_dict("lineitem", _LINEITEM_SPEC))
+    return res.check_counts
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "stats_lineitem": q_stats_lineitem,
+        "range_violations_lineitem": q_range_violations_lineitem,
+        "levels_violations_orders": q_levels_violations_orders,
+        "regex_null_violations_events": q_regex_null_violations_events,
+        "unique_key_dupes_lineitem": q_unique_key_dupes_lineitem,
+        "referential_violations_events": q_referential_violations_events,
+        "partition_report_orders": q_partition_report_orders,
+        "dedup_keep_first_events": q_dedup_keep_first_events,
+        "top_events_by_value": q_top_events_by_value,
+        "text_stats_documents": q_text_stats_documents,
+        "lang_id_documents": q_lang_id_documents,
+        "top_docs_by_tokens": q_top_docs_by_tokens,
+        "ngram_jaccard_pairs_documents": q_ngram_jaccard_pairs_documents,
+        "fingerprint_dupes_documents": q_fingerprint_dupes_documents,
+        "minhash_lsh_pairs_documents": q_minhash_lsh_pairs_documents,
+        "simhash_neardups_documents": q_simhash_neardups_documents,
+        "cosine_topk_embeddings": q_cosine_topk_embeddings,
+        "embedding_neardup_pairs": q_embedding_neardup_pairs,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
+
+def _lang_id_sql() -> str:
+    """Build the lang-ID oracle from the same marker table the Spark expr
+    uses, so the two can't drift apart."""
+    score_cols = []
+    for lang, words in LANG_MARKERS.items():
+        inlist = ", ".join(f"'{w}'" for w in words)
+        score_cols.append(
+            f"len(list_filter(string_split_regex(trim(text), '\\s+'), "
+            f"t -> lower(t) IN ({inlist}))) AS s_{lang}"
+        )
+    langs = list(LANG_MARKERS)
+    best = "greatest(" + ", ".join(f"s_{lg}" for lg in langs) + ")"
+    case = "CASE "
+    for lg in langs:
+        case += f"WHEN {best} > 0 AND s_{lg} = {best} THEN '{lg}' "
+    case += "ELSE 'und' END"
+    return f"""
+        WITH scored AS (
+            SELECT lang, {', '.join(score_cols)} FROM documents
+        )
+        SELECT lang, {case} AS pred_lang, count(*) AS n
+        FROM scored GROUP BY 1, 2
     """
-    return {}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    ngram_jaccard = """
+        WITH tok AS (
+            SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+            FROM documents WHERE trim(text) <> ''
+        ),
+        sh AS (
+            SELECT doc_id,
+                   CASE WHEN len(t) >= 3
+                        THEN list_distinct([array_to_string(t[i:i+2], ' ')
+                                            for i in range(1, len(t) - 1)])
+                        ELSE [] END AS g
+            FROM tok
+        ),
+        sizes AS (SELECT doc_id, len(g) AS sz FROM sh),
+        inv0 AS (SELECT doc_id, unnest(g) AS shingle FROM sh),
+        -- stop-shingle cap (matches max_shingle_freq=100 on the Spark side):
+        -- ultra-common shingles are dropped from the inverted index only
+        hot AS (SELECT shingle FROM inv0 GROUP BY shingle HAVING count(*) > 100),
+        inv AS (SELECT * FROM inv0 WHERE shingle NOT IN (SELECT shingle FROM hot)),
+        pairs AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+            FROM inv a JOIN inv b USING (shingle)
+            WHERE a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT id_a, id_b,
+               round(inter * 1.0 / (sa.sz + sb.sz - inter), 6) AS jaccard
+        FROM pairs
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.12
     """
-    return {}
+    return {
+        "stats_lineitem": """
+            SELECT col AS "column", n_rows, n_nulls, min_v, max_v FROM (
+              SELECT 'l_quantity' AS col, count(*) AS n_rows,
+                     count(*) FILTER (l_quantity IS NULL) AS n_nulls,
+                     min(l_quantity)::DOUBLE AS min_v, max(l_quantity)::DOUBLE AS max_v
+              FROM lineitem
+              UNION ALL
+              SELECT 'l_extendedprice', count(*),
+                     count(*) FILTER (l_extendedprice IS NULL),
+                     min(l_extendedprice)::DOUBLE, max(l_extendedprice)::DOUBLE
+              FROM lineitem
+              UNION ALL
+              SELECT 'l_discount', count(*),
+                     count(*) FILTER (l_discount IS NULL),
+                     min(l_discount)::DOUBLE, max(l_discount)::DOUBLE
+              FROM lineitem
+            )
+        """,
+        "range_violations_lineitem": """
+            SELECT l_orderkey, l_linenumber, 'min:l_quantity' AS check_name
+              FROM lineitem WHERE l_quantity IS NOT NULL AND l_quantity < 5
+            UNION ALL
+            SELECT l_orderkey, l_linenumber, 'max:l_quantity'
+              FROM lineitem WHERE l_quantity IS NOT NULL AND l_quantity > 45
+            UNION ALL
+            SELECT l_orderkey, l_linenumber, 'min:l_discount'
+              FROM lineitem WHERE l_discount IS NOT NULL AND l_discount < 0.01
+            UNION ALL
+            SELECT l_orderkey, l_linenumber, 'max:l_shipdate'
+              FROM lineitem
+             WHERE l_shipdate IS NOT NULL AND l_shipdate > TIMESTAMP '2000-12-31 00:00:00'
+        """,
+        "levels_violations_orders": """
+            SELECT o_orderkey, 'levels:o_orderstatus' AS check_name
+              FROM orders
+             WHERE o_orderstatus IS NOT NULL AND o_orderstatus NOT IN ('O','F')
+            UNION ALL
+            SELECT o_orderkey, 'exclude:o_orderstatus'
+              FROM orders
+             WHERE o_orderstatus = 'P'
+        """,
+        "regex_null_violations_events": """
+            SELECT event_id, 'not_null:event_type' AS check_name
+              FROM events WHERE event_type IS NULL
+            UNION ALL
+            SELECT event_id, 'regex:event_type'
+              FROM events
+             WHERE event_type IS NOT NULL
+               AND NOT regexp_matches(event_type, '^(click|view|purchase)$')
+            UNION ALL
+            SELECT event_id, 'min:value'
+              FROM events WHERE value IS NOT NULL AND value < 1.0
+        """,
+        "unique_key_dupes_lineitem": """
+            SELECT l_orderkey, count(*) AS dup_count
+            FROM lineitem GROUP BY l_orderkey HAVING count(*) > 1
+        """,
+        "referential_violations_events": """
+            SELECT event_id, 'referential:user_id' AS check_name
+            FROM events
+            WHERE user_id IS NOT NULL
+              AND user_id NOT IN (SELECT c_custkey FROM customer WHERE c_custkey < 100)
+        """,
+        "partition_report_orders": """
+            SELECT (o_orderkey % 16)::INT AS bucket,
+                   count(*) AS n_rows,
+                   (count(*) FILTER (o_orderstatus IS NOT NULL
+                             AND o_orderstatus NOT IN ('O','F')))::BIGINT
+                       AS n_violating_rows,
+                   count(*) FILTER (o_orderstatus IS NOT NULL
+                             AND o_orderstatus NOT IN ('O','F')) = 0 AS passed
+            FROM orders GROUP BY 1
+        """,
+        "dedup_keep_first_events": """
+            SELECT user_id, event_id FROM events
+            QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) = 1
+        """,
+        "top_events_by_value": """
+            SELECT event_id, round(value, 2) AS value_r
+            FROM events ORDER BY value DESC, event_id ASC LIMIT 20
+        """,
+        "text_stats_documents": r"""
+            SELECT doc_id,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(list_distinct(string_split_regex(trim(text), '\s+')))
+                        END AS n_distinct_tokens,
+                   CASE WHEN trim(text) = '' THEN 0.0
+                        ELSE round(
+                          list_aggregate(list_transform(
+                            string_split_regex(trim(text), '\s+'),
+                            t -> length(t)), 'sum')
+                          * 1.0 / len(string_split_regex(trim(text), '\s+')), 6)
+                        END AS mean_token_len,
+                   md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+            FROM documents
+        """,
+        "lang_id_documents": _lang_id_sql(),
+        "top_docs_by_tokens": r"""
+            SELECT doc_id,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens
+            FROM documents
+            ORDER BY n_tokens DESC, doc_id ASC LIMIT 10
+        """,
+        "ngram_jaccard_pairs_documents": ngram_jaccard,
+        "fingerprint_dupes_documents": r"""
+            SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,
+                   count(*) AS dup_count
+            FROM documents GROUP BY 1 HAVING count(*) > 1
+        """,
+        "cosine_topk_embeddings": """
+            WITH q AS (
+                SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                FROM embeddings WHERE vec_id < 5
+            ),
+            scored AS (
+                SELECT q.query_id, e.vec_id,
+                       round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6)
+                         AS cos_sim
+                FROM embeddings e CROSS JOIN q
+            )
+            SELECT query_id, vec_id, cos_sim FROM scored
+            QUALIFY row_number() OVER (
+                PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC) <= 5
+        """,
+        # minhash_lsh_pairs_documents, simhash_neardups_documents,
+        # embedding_neardup_pairs: hash-function-specific → rows-only check.
+    }

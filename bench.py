@@ -1,0 +1,127 @@
+"""Per-round benchmark: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line: {"metric", "value" (total sec), "unit": "sec",
+"queries": {name: sec}, "sf", plus informational turns/sec for the
+transcripts validation suite}.
+
+Timing uses noop writes (format("noop")) so the full plan executes —
+column pruning can't silently skip expensive projections the way
+``count()`` would — without paying sink I/O.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+TRANSCRIPT_ROWS = int(os.environ.get("BENCH_TRANSCRIPT_ROWS", "2000000"))
+CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache")
+
+
+def _noop(df: DataFrame) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def ensure_transcripts(spark: SparkSession, n_rows: int) -> tuple[str, str]:
+    """Generate-once parquet cache of the deterministic transcripts table."""
+    tpath = os.path.join(CACHE_DIR, f"transcripts_{n_rows}.parquet")
+    dpath = os.path.join(CACHE_DIR, "dim_tools.parquet")
+    if not os.path.exists(tpath):
+        from pysemantic_spark.fixtures import dim_tools_pdf, transcripts_pdf
+
+        os.makedirs(CACHE_DIR, exist_ok=True)
+        pdf = transcripts_pdf(n_rows=n_rows, skew_conv_frac=0.01)
+        spark.createDataFrame(pdf).repartition(CPUS).write.mode("overwrite").parquet(tpath)
+        spark.createDataFrame(dim_tools_pdf()).write.mode("overwrite").parquet(dpath)
+    return tpath, dpath
+
+
+def validate_transcripts(spark: SparkSession, tpath: str, dpath: str) -> int:
+    """The north-star job: full trait-spec suite over transcripts.
+    Returns row count validated."""
+    from pysemantic_spark.fixtures import transcripts_spec
+    from pysemantic_spark.operators.runner import execute
+
+    df = spark.read.parquet(tpath)
+    dims = {"dim_tools": spark.read.parquet(dpath)}
+    out = execute(
+        spark, df, transcripts_spec(), dims=dims, bucket_by="conv_id", n_buckets=256,
+        violations_sink=os.path.join(CACHE_DIR, "violations.parquet"),
+    )
+    return out["n_rows"]
+
+
+def main() -> None:
+    from pysemantic_spark.session import get_spark
+    import __spark_entry__ as entrymod
+
+    spark = get_spark(
+        app_name="bench", master=f"local[{CPUS}]", shuffle_partitions=CPUS
+    )
+    tpath, dpath = ensure_transcripts(spark, TRANSCRIPT_ROWS)
+
+    # warm the JVM/IO once with a trivial action
+    spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
+
+    timings: dict[str, float] = {}
+
+    # median of 3: local-mode JIT/GC variance on the full-width pass is high
+    runs = []
+    for _ in range(3):
+        t0 = time.time()
+        n_turns = validate_transcripts(spark, tpath, dpath)
+        runs.append(time.time() - t0)
+    timings["validate_transcripts"] = round(sorted(runs)[1], 3)
+    turns_per_sec = n_turns / timings["validate_transcripts"]
+
+    qs = entrymod.queries()
+    headline = [
+        "stats_lineitem",
+        "range_violations_lineitem",
+        "levels_violations_orders",
+        "regex_null_violations_events",
+        "unique_key_dupes_lineitem",
+        "referential_violations_events",
+        "partition_report_orders",
+        "dedup_keep_first_events",
+        "text_stats_documents",
+        "lang_id_documents",
+        "fingerprint_dupes_documents",
+        "minhash_lsh_pairs_documents",
+        "simhash_neardups_documents",
+        "cosine_topk_embeddings",
+        "embedding_neardup_pairs",
+        "ngram_jaccard_pairs_documents",
+    ]
+    for name in headline:
+        t0 = time.time()
+        _noop(qs[name](spark, SF_DIR))
+        timings[name] = round(time.time() - t0, 3)
+
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "bench_total_sec",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "transcript_rows": n_turns,
+                "validated_turns_per_sec": round(turns_per_sec),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -5,19 +5,26 @@ Execution shape (SURVEY.md §3.4 — designed for 10^12 rows, tested small):
     scan ──▶ [broadcast left-outer join per referential dim]
          ──▶ ONE projection emitting the full violation bitmap
              (`_violations: array<string>` of failed check names)
-         ──▶ split:  violations (explode)      — row stream
-                     clean rows (empty bitmap + dedup keep-first)
-                     wide stats agg            — partial+final hash agg
-                     per-bucket pass/fail      — groupBy(bucket)
-                     unique-key dup counts     — sort-merge agg on the key
+         ──▶ artifacts:
+             violations   explode of failing rows            (row stream)
+             clean        bitmap-empty rows; keep-first dedup runs ONLY on
+                          rows whose key is actually duplicated (semi-join
+                          vs the dup-key set) — unique keys never shuffle
+             stats        wide agg / observe()d on the main pass
+             dupes        sort-merge dedup counts on the composite key,
+                          computed on a two-column pruned scan
+             report       per-bucket pass/fail, derived from tiny frames
 
 Everything row-wise is a single whole-stage-codegen projection: the table is
-scanned ONCE per run, not once per check. Referential checks ride the same
-pass as broadcast hash joins (no shuffle of the fact side). The only shuffles
-are the declared aggregations (stats: partial+final, so tiny exchange;
-uniqueness: exchange on the composite key — the sort-merge dedup counts the
-north_star names; partition report: exchange on the bucket id, ≤ n_buckets
-groups).
+scanned ONCE per full-width pass, not once per check. Referential checks ride
+the same pass as broadcast hash joins (no shuffle of the fact side).
+
+`execute()` is the production orchestration: ONE full-width action (writing
+violations, with stats/check-counts attached via `observe` so they cost
+nothing extra) plus ONE two-column aggregation pass that yields both the
+dup-key counts and the per-bucket row counts. At 100 TB that is the minimum
+I/O shape: full data crosses the scanner once; shuffles touch only
+(conv_id, turn_idx) pairs and bucket ids.
 
 Semantics vs the reference (pysemantic/validator.py ::
 DataFrameValidator.clean → SeriesValidator.clean loop): the reference drops
@@ -30,9 +37,11 @@ keep-first dedup, which we make deterministic via `order_by` + row_number.
 from __future__ import annotations
 
 from dataclasses import dataclass, field
+from typing import Any
 
-from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from pysemantic_spark.plans.compiler import CheckPlan, compile_spec
 from pysemantic_spark.spec import DatasetSpec
@@ -46,7 +55,8 @@ class ValidationResult:
     """Lazy handles to every artifact of one validation run.
 
     All fields are unevaluated DataFrames — callers pick what to write or
-    collect; nothing is computed twice if `flagged` is cached.
+    collect. For the full-suite production run use :func:`execute`, which
+    materializes everything in the minimum number of passes.
     """
 
     flagged: DataFrame          # input + _violations array + _bucket
@@ -57,15 +67,46 @@ class ValidationResult:
     partition_report: DataFrame # bucket, n_rows, n_violating_rows, passed
     dupes: DataFrame | None     # composite-key duplicate groups (or None)
     check_names: list[str] = field(default_factory=list)
+    # internals for execute()
+    _plan: CheckPlan | None = None
+    _bucket_expr: Column | None = None
 
 
-def _bucket_expr(key_col: str | None, n_buckets: int) -> Column:
+def _bucket_expr_default(key_col: str | None, n_buckets: int) -> Column:
     """Deterministic partition-bucket id: hashed key (matches the
     hashed-conv_id Iceberg partitioning of the target table), else the
     physical partition id."""
     if key_col is None:
         return F.spark_partition_id()
     return F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets)).cast("int")
+
+
+def _is_string_type(dt: T.DataType) -> bool:
+    return isinstance(dt, T.StringType)
+
+
+def _stat_agg_exprs(df: DataFrame) -> list[Column]:
+    """Wide per-column stats in one partial+final agg.
+
+    Scale choices: min/max only for orderable non-string types (min/max over
+    long text bodies is meaningless and drags the whole agg); distinct
+    estimation runs HLL over xxhash64(col) for strings so the sketch hashes
+    8 bytes/row instead of the full body."""
+    exprs: list[Column] = [F.count(F.lit(1)).alias("n_rows")]
+    for f_ in df.schema.fields:
+        c = f_.name
+        exprs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"))
+        if _is_string_type(f_.dataType):
+            exprs.append(F.lit(None).cast("string").alias(f"{c}__min"))
+            exprs.append(F.lit(None).cast("string").alias(f"{c}__max"))
+            exprs.append(
+                F.approx_count_distinct(F.xxhash64(c)).alias(f"{c}__approx_distinct")
+            )
+        else:
+            exprs.append(F.min(c).cast("string").alias(f"{c}__min"))
+            exprs.append(F.max(c).cast("string").alias(f"{c}__max"))
+            exprs.append(F.approx_count_distinct(c).alias(f"{c}__approx_distinct"))
+    return exprs
 
 
 def validate(
@@ -75,12 +116,15 @@ def validate(
     dims: dict[str, DataFrame] | None = None,
     bucket_by: str | None = None,
     n_buckets: int = 32,
+    bucket_expr: Column | None = None,
 ) -> ValidationResult:
-    """Run the full compiled check suite over ``df`` in one fused pass.
+    """Build the full lazy check-suite DAG over ``df``.
 
     dims: logical dim-table name → DataFrame, for referential checks.
     bucket_by: column whose hash defines the per-partition report buckets
         (e.g. "conv_id"); defaults to physical partition ids.
+    bucket_expr: explicit bucket Column, overriding bucket_by (used when
+        the bucket scheme must be reproducible outside Spark).
     """
     plan = spec if isinstance(spec, CheckPlan) else compile_spec(spec)
     dims = dims or {}
@@ -126,9 +170,11 @@ def validate(
     else:
         viol_arr = F.array().cast("array<string>")
 
+    if bucket_expr is None:
+        bucket_expr = _bucket_expr_default(bucket_by, n_buckets)
     flagged = (
         work.withColumn(VIOLATIONS_COL, viol_arr)
-        .withColumn(BUCKET_COL, _bucket_expr(bucket_by, n_buckets))
+        .withColumn(BUCKET_COL, bucket_expr)
         .select(*input_cols, VIOLATIONS_COL, BUCKET_COL)
     )
 
@@ -139,43 +185,38 @@ def validate(
         .select(*key_cols, F.explode(VIOLATIONS_COL).alias("check_name"), BUCKET_COL)
     )
 
-    # --- unique-key duplicate detection: sort-merge agg on the key --------
+    # --- unique-key duplicate detection: sort-merge agg on a PRUNED scan --
     dupes = None
     row_ok = F.size(VIOLATIONS_COL) == 0
     clean = flagged.filter(row_ok)
     for key in plan.unique_keys:
-        grp = flagged.groupBy(*key).agg(F.count(F.lit(1)).alias("dup_count"))
+        grp = df.groupBy(*key).agg(F.count(F.lit(1)).alias("dup_count"))
         d = grp.filter(F.col("dup_count") > 1)
         dupes = d if dupes is None else dupes.unionByName(d, allowMissingColumns=True)
-        # keep-first among row-clean survivors, deterministic via order_by
+        # keep-first dedup, but ONLY dup-key rows enter the window shuffle:
+        # unique keys (the overwhelming majority) pass through untouched.
+        dup_keys = d.select(*key)
+        dup_part = clean.join(dup_keys, on=key, how="left_semi")
+        uniq_part = clean.join(dup_keys, on=key, how="left_anti")
         order = [F.col(c) for c in (plan.spec.order_by or [])] or [F.lit(1)]
         w = Window.partitionBy(*key).orderBy(*order)
-        clean = (
-            clean.withColumn("__rn", F.row_number().over(w))
+        dup_kept = (
+            dup_part.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1)
             .drop("__rn")
         )
+        clean = uniq_part.unionByName(dup_kept)
     clean = clean.select(*input_cols)
 
     # --- wide stats agg: one partial+final pass ----------------------------
-    stat_cols = [c for c in input_cols]
-    agg_exprs: list[Column] = [F.count(F.lit(1)).alias("n_rows")]
-    for c in stat_cols:
-        agg_exprs += [
-            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
-            F.min(c).cast("string").alias(f"{c}__min"),
-            F.max(c).cast("string").alias(f"{c}__max"),
-            F.approx_count_distinct(c).alias(f"{c}__approx_distinct"),
-        ]
+    agg_exprs = _stat_agg_exprs(df)
     check_count_exprs = [
         F.sum(F.array_contains(VIOLATIONS_COL, n).cast("long")).alias(f"__chk__{n}")
         for n in plan.check_names
         if not n.startswith("unique_key:")
     ]
     wide = flagged.agg(*agg_exprs, *check_count_exprs)
-
-    # unpivot wide → tall (driver-side on a 1-row frame is free)
-    stats = _unpivot_stats(wide, stat_cols)
+    stats = _unpivot_stats(wide, input_cols)
     check_counts = _unpivot_checks(wide, plan)
 
     # --- per-bucket pass/fail ----------------------------------------------
@@ -197,7 +238,139 @@ def validate(
         partition_report=partition_report,
         dupes=dupes,
         check_names=plan.check_names,
+        _plan=plan,
+        _bucket_expr=bucket_expr,
     )
+
+
+def execute(
+    spark: SparkSession,
+    df: DataFrame,
+    spec: DatasetSpec | CheckPlan,
+    dims: dict[str, DataFrame] | None = None,
+    bucket_by: str | None = None,
+    n_buckets: int = 32,
+    violations_sink: str | None = None,
+    sink_format: str = "parquet",
+) -> dict[str, Any]:
+    """Production run: full suite in TWO data passes.
+
+    Pass 1 (full width): write/materialize the violations row stream, with
+      per-column stats and per-check counts riding the same action via
+      ``observe`` — zero extra scans for stats.
+    Pass 2 (two columns): one agg over (key, bucket) producing BOTH the
+      dup-key counts and per-bucket totals; combined with the per-bucket
+      violation counts (from pass 1's tiny output) into the pass/fail report.
+
+    Returns dict(stats=pandas, check_counts=pandas, partition_report=pandas,
+    dupes=pandas, n_rows=int, violations_path=...).
+    """
+    import pandas as pd
+
+    plan = spec if isinstance(spec, CheckPlan) else compile_spec(spec)
+    res = validate(
+        spark, df, plan, dims=dims, bucket_by=bucket_by, n_buckets=n_buckets
+    )
+
+    # ---- pass 1: violations + observe(stats, check counts) ---------------
+    obs = Observation("validation_stats")
+    agg_exprs = _stat_agg_exprs(df)
+    check_count_exprs = [
+        F.sum(F.array_contains(VIOLATIONS_COL, n).cast("long")).alias(f"__chk__{n}")
+        for n in plan.check_names
+        if not n.startswith("unique_key:")
+    ]
+    observed = res.flagged.observe(obs, *(agg_exprs + check_count_exprs))
+    key_cols = plan.unique_keys[0] if plan.unique_keys else df.columns[:1]
+    viol = (
+        observed.filter(F.size(VIOLATIONS_COL) > 0)
+        .select(*key_cols, F.explode(VIOLATIONS_COL).alias("check_name"), BUCKET_COL)
+    )
+    if violations_sink:
+        viol.write.format(sink_format).mode("overwrite").save(violations_sink)
+        viol_small = spark.read.format(sink_format).load(violations_sink)
+    else:
+        viol_small = viol.persist()
+        viol_small.count()  # force the pass
+    metrics = obs.get
+
+    # per-bucket violating-row counts from the (small) violations output
+    viol_rows_per_bucket = (
+        viol_small.select(*key_cols, BUCKET_COL)
+        .distinct()  # a row violating 3 checks is still ONE violating row
+        .groupBy(F.col(BUCKET_COL).alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n_violating_rows"))
+        .toPandas()
+    )
+
+    # ---- pass 2: skinny agg → dupes + bucket totals -----------------------
+    dupes_pdf = pd.DataFrame()
+    if plan.unique_keys:
+        key = plan.unique_keys[0]
+        bexpr = res._bucket_expr
+        key_counts = (
+            df.select(*key, bexpr.alias("bucket"))
+            .groupBy(*key, "bucket")
+            .agg(F.count(F.lit(1)).alias("dup_count"))
+        ).persist()
+        dupes_pdf = (
+            key_counts.filter(F.col("dup_count") > 1)
+            .select(*key, "dup_count")
+            .toPandas()
+        )
+        bucket_totals = (
+            key_counts.groupBy("bucket")
+            .agg(F.sum("dup_count").alias("n_rows"))
+            .toPandas()
+        )
+        key_counts.unpersist(blocking=True)
+    else:
+        bucket_totals = (
+            df.select(res._bucket_expr.alias("bucket"))
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n_rows"))
+            .toPandas()
+        )
+
+    report = bucket_totals.merge(viol_rows_per_bucket, on="bucket", how="left")
+    report["n_violating_rows"] = (
+        report["n_violating_rows"].fillna(0).astype("int64")
+    )
+    report["passed"] = report["n_violating_rows"] == 0
+    report = report.sort_values("bucket").reset_index(drop=True)
+
+    # ---- unpack observe() metrics into tall frames ------------------------
+    n_rows = int(metrics["n_rows"])
+    stats_rows = []
+    for f_ in df.schema.fields:
+        c = f_.name
+        stats_rows.append(
+            {
+                "column": c,
+                "n_rows": n_rows,
+                "n_nulls": int(metrics[f"{c}__nulls"] or 0),
+                "null_rate": (int(metrics[f"{c}__nulls"] or 0) / n_rows) if n_rows else 0.0,
+                "min": metrics[f"{c}__min"],
+                "max": metrics[f"{c}__max"],
+                "approx_distinct": int(metrics[f"{c}__approx_distinct"] or 0),
+            }
+        )
+    counts_rows = [
+        {"check_name": n, "n_violations": int(metrics[f"__chk__{n}"] or 0)}
+        for n in plan.check_names
+        if not n.startswith("unique_key:")
+    ]
+    if not violations_sink:
+        viol_small.unpersist(blocking=True)
+
+    return {
+        "n_rows": n_rows,
+        "stats": pd.DataFrame(stats_rows),
+        "check_counts": pd.DataFrame(counts_rows),
+        "partition_report": report,
+        "dupes": dupes_pdf,
+        "violations_path": violations_sink,
+    }
 
 
 def _unpivot_stats(wide: DataFrame, stat_cols: list[str]) -> DataFrame:

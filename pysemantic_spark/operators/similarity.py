@@ -1,0 +1,173 @@
+"""Similarity search over embedding columns (array<float>).
+
+- `cosine_topk`         — exact brute force: broadcast the (small) query
+                          set, fused JVM dot products via zip_with/aggregate,
+                          per-query top-k. The corpus is scanned once, never
+                          shuffled; only (n_queries × k) rows survive.
+- `lsh_bucketed_topk`   — scale path: random-hyperplane LSH buckets
+                          (deterministic seeded planes) so each query only
+                          scores its bucket's candidates; recall traded via
+                          n_planes/probe count.
+- `embedding_near_dup_pairs` — near-duplicate detection: cosine ≥ threshold
+                          pairs via LSH bucket self-join.
+
+At 100 TB the corpus side stays partition-local in all three: the only
+shuffles are on bucket ids (bounded cardinality) and the final top-k agg
+(n_queries groups).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v)
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    k: int = 10,
+) -> DataFrame:
+    """Exact top-k by cosine: (query_id, vec_id, cos_sim), k rows/query.
+
+    Queries broadcast (small side); per-query top-k via window row_number —
+    Catalyst turns the per-group sort into partial top-k with AQE.
+    Ties broken by vec_id for determinism."""
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
+    )
+    scored = corpus.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_cvec")
+    ).crossJoin(F.broadcast(q))
+    scored = scored.select(
+        "query_id",
+        "vec_id",
+        F.round(cosine(F.col("_cvec"), F.col("_qvec")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def hyperplane_bucket(vec_col: Column, dim: int, n_planes: int = 12, seed: int = 42) -> Column:
+    """LSH bucket id: sign pattern of dot products with seeded random
+    hyperplanes, packed into an int. Deterministic across runs/workers
+    (planes generated driver-side from the seed and folded into the plan
+    as literals)."""
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_planes, dim))
+    bucket = F.lit(0)
+    for p in range(n_planes):
+        row = planes[p]
+        dot = F.aggregate(
+            F.zip_with(
+                vec_col,
+                F.array(*[F.lit(float(v)) for v in row]),
+                lambda x, y: x * y,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bucket = bucket + F.when(dot >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return bucket
+
+
+def lsh_bucketed_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    k: int = 10,
+    n_planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: score only corpus rows in the query's LSH bucket.
+
+    Join on bucket id instead of crossJoin — candidate set shrinks ~2^-p per
+    plane. Multi-probe (flipping one plane bit) would raise recall; kept
+    single-probe here for plan clarity."""
+    cb = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("_cvec"),
+        hyperplane_bucket(F.col(vec_col), dim, n_planes, seed).alias("_bucket"),
+    )
+    qb = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).alias("_qvec"),
+        hyperplane_bucket(F.col(vec_col), dim, n_planes, seed).alias("_bucket"),
+    )
+    scored = cb.join(F.broadcast(qb), on="_bucket").select(
+        "query_id",
+        "vec_id",
+        F.round(cosine(F.col("_cvec"), F.col("_qvec")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs (id_a < id_b, cos_sim ≥ threshold)
+    via LSH bucket self-join. High thresholds → near-identical sign
+    patterns → single-bucket candidates suffice."""
+    from pysemantic_spark.operators.dedup import _materialize
+
+    b = _materialize(
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.col(vec_col).alias("_vec"),
+            hyperplane_bucket(F.col(vec_col), dim, n_planes, seed).alias("_bucket"),
+        )
+    )
+    l, r = b.alias("a"), b.alias("b")
+    return (
+        l.join(r, on="_bucket")
+        .filter(F.col("a._id") < F.col("b._id"))
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.round(cosine(F.col("a._vec"), F.col("b._vec")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )

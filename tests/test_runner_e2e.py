@@ -94,7 +94,11 @@ def test_stats_agg(setup):
     assert int(stats.loc["text", "n_nulls"]) == int(pdf["text"].isna().sum())
     assert int(stats.loc["ts", "n_nulls"]) == int(pdf["ts"].isna().sum())
     assert stats.loc["turn_idx", "null_rate"] == 0.0
-    # approx_count_distinct within 5% of exact
+    # approx_count_distinct (HLL, rsd=5%) within 3 sigma of exact
     exact = pdf["conv_id"].nunique()
     approx = int(stats.loc["conv_id", "approx_distinct"])
-    assert abs(approx - exact) / exact < 0.05
+    assert abs(approx - exact) / exact < 0.15
+    # strings skip min/max at scale (meaningless over text bodies)
+    assert stats.loc["text", "min"] is None or pd.isna(stats.loc["text", "min"])
+    # numerics/timestamps keep them
+    assert stats.loc["turn_idx", "min"] is not None
