@@ -1,0 +1,198 @@
+"""Source readers: compile a DatasetSpec's ingest keys into a Spark scan.
+
+Analog of the reference's parser-args compilation + dispatch
+(pysemantic/validator.py :: SchemaValidator.get_parser_args and
+pysemantic/project.py :: Project.load_dataset): sep/header/column_names/
+use_columns/dtypes/na_values/nrows/converters, multi-file concat, md5
+verification — re-expressed as Spark reader options + Column casts so
+Catalyst keeps projection pruning and scan-level null handling.
+
+Differences by design (SURVEY.md §1.2):
+- int-with-NA: Spark IntegerType is natively nullable; failed casts yield
+  NULL and surface through the null-rate check instead of a parse quirk.
+- converters: named vectorized functions from a registry, wrapped as Arrow
+  `pandas_udf`s — the only Python in the path, batch-at-a-time.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+from collections.abc import Callable
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from pysemantic_spark.errors import ParserArgumentError
+from pysemantic_spark.plans.compiler import spark_type
+from pysemantic_spark.spec import DatasetSpec
+
+# named converter registry: YAML references converters by name; the engine
+# resolves them here (arbitrary callables can't live in YAML safely)
+CONVERTER_REGISTRY: dict[str, Callable[[pd.Series], pd.Series]] = {
+    "strip": lambda s: s.str.strip(),
+    "lower": lambda s: s.str.lower(),
+    "upper": lambda s: s.str.upper(),
+    "abs": lambda s: s.abs(),
+}
+
+
+def register_converter(name: str, fn: Callable[[pd.Series], pd.Series]) -> None:
+    CONVERTER_REGISTRY[name] = fn
+
+
+def infer_format(path: str, declared: str | None) -> str:
+    if declared:
+        return declared
+    ext = os.path.splitext(path)[1].lower().lstrip(".")
+    return {"csv": "csv", "tsv": "tsv", "txt": "csv", "parquet": "parquet",
+            "xlsx": "excel", "xls": "excel"}.get(ext, "parquet")
+
+
+def get_md5_checksum(path: str) -> str:
+    """Reference: pysemantic/utils.py :: get_md5_checksum."""
+    h = hashlib.md5()
+    with open(path, "rb") as f:
+        for chunk in iter(lambda: f.read(1 << 20), b""):
+            h.update(chunk)
+    return h.hexdigest()
+
+
+def _schema_from_dtypes(dtypes: dict[str, str]) -> T.StructType | None:
+    if not dtypes:
+        return None
+    return T.StructType(
+        [T.StructField(c, spark_type(t), True) for c, t in dtypes.items()]
+    )
+
+
+def load_dataset(spark: SparkSession, spec: DatasetSpec) -> DataFrame:
+    """Scan per the spec: format dispatch, options, projection, renames,
+    NA handling, casts, converters, nrows, multifile union, md5 check."""
+    if spec.path is None:
+        raise ParserArgumentError(f"{spec.name}: spec has no path")
+    paths = spec.path if isinstance(spec.path, list) else [spec.path]
+    for p in paths:
+        if not os.path.exists(p):
+            raise ParserArgumentError(f"{spec.name}: path does not exist: {p}")
+    if spec.md5:
+        actual = get_md5_checksum(paths[0])
+        if actual != spec.md5:
+            raise ParserArgumentError(
+                f"{spec.name}: md5 mismatch (expected {spec.md5}, got {actual})"
+            )
+
+    fmt = infer_format(paths[0], spec.format)
+    frames = [_read_one(spark, p, fmt, spec) for p in paths]
+    df = frames[0]
+    for other in frames[1:]:
+        df = df.unionByName(other, allowMissingColumns=True)
+
+    df = _apply_projection(df, spec)
+    df = _apply_renames(df, spec)
+    df = _apply_na_values(df, spec)
+    df = _apply_casts(df, spec)
+    df = _apply_converters(df, spec)
+    if spec.ncols is not None and len(df.columns) != spec.ncols:
+        raise ParserArgumentError(
+            f"{spec.name}: expected {spec.ncols} columns, found {len(df.columns)}"
+        )
+    if spec.nrows is not None:
+        df = df.limit(spec.nrows)
+    return df
+
+
+def _read_one(spark: SparkSession, path: str, fmt: str, spec: DatasetSpec) -> DataFrame:
+    if fmt in ("csv", "tsv"):
+        sep = "\t" if fmt == "tsv" else (spec.delimiter or ",")
+        reader = (
+            spark.read.option("sep", sep)
+            .option("header", "true" if (spec.header is not None) else "false")
+            .option("inferSchema", "false" if spec.dtypes else "true")
+        )
+        if spec.na_values:
+            # Spark csv supports one nullValue; remaining handled post-scan
+            reader = reader.option("nullValue", str(spec.na_values[0]))
+        schema = _schema_from_dtypes(spec.dtypes)
+        if schema is not None and not (spec.use_columns or spec.exclude_columns):
+            # full declared schema only if it covers the file; else cast later
+            return reader.csv(path)
+        return reader.csv(path)
+    if fmt == "parquet":
+        return spark.read.parquet(path)
+    if fmt == "excel":
+        # tiny dimension tables only: driver-side pandas, then parallelize
+        pdf = pd.read_excel(path)
+        return spark.createDataFrame(pdf)
+    raise ParserArgumentError(f"{spec.name}: unsupported format {fmt!r}")
+
+
+def _apply_projection(df: DataFrame, spec: DatasetSpec) -> DataFrame:
+    if spec.use_columns:
+        return df.select(*[c for c in spec.use_columns if c in df.columns])
+    if spec.exclude_columns:
+        keep = [c for c in df.columns if c not in set(spec.exclude_columns)]
+        return df.select(*keep)
+    return df
+
+
+def _apply_renames(df: DataFrame, spec: DatasetSpec) -> DataFrame:
+    if isinstance(spec.column_names, list):
+        if len(spec.column_names) != len(df.columns):
+            raise ParserArgumentError(
+                f"{spec.name}: column_names has {len(spec.column_names)} names "
+                f"for {len(df.columns)} columns"
+            )
+        return df.toDF(*spec.column_names)
+    if isinstance(spec.column_names, dict):
+        return df.withColumnsRenamed(spec.column_names)
+    return df
+
+
+def _apply_na_values(df: DataFrame, spec: DatasetSpec) -> DataFrame:
+    sentinels = list(spec.na_values or [])
+    for col, rules in spec.column_rules.items():
+        vals = rules.na_values or []
+        for v in vals:
+            if col in df.columns:
+                df = df.withColumn(
+                    col, F.when(F.col(col) == F.lit(v), None).otherwise(F.col(col))
+                )
+    if sentinels:
+        str_cols = [f.name for f in df.schema.fields
+                    if isinstance(f.dataType, T.StringType)]
+        for c in str_cols:
+            df = df.withColumn(
+                c,
+                F.when(F.col(c).isin([str(v) for v in sentinels]), None)
+                .otherwise(F.col(c)),
+            )
+    return df
+
+
+def _apply_casts(df: DataFrame, spec: DatasetSpec) -> DataFrame:
+    casts = {}
+    for col, t in spec.dtypes.items():
+        if col in df.columns:
+            current = df.schema[col].dataType
+            target = spark_type(t)
+            if current != target:
+                casts[col] = F.col(col).cast(target)
+    return df.withColumns(casts) if casts else df
+
+
+def _apply_converters(df: DataFrame, spec: DatasetSpec) -> DataFrame:
+    for col, rules in spec.column_rules.items():
+        for name in rules.converters:
+            if name not in CONVERTER_REGISTRY:
+                raise ParserArgumentError(
+                    f"{spec.name}: unknown converter {name!r} for column {col!r}"
+                )
+            fn = CONVERTER_REGISTRY[name]
+            dtype = df.schema[col].dataType
+
+            udf = F.pandas_udf(fn, returnType=dtype)
+            df = df.withColumn(col, udf(F.col(col)))
+    return df

@@ -1,0 +1,248 @@
+"""Table storage with per-partition checkpoint/resume.
+
+Two implementations behind one interface:
+
+- `IcebergIO` — used when an Iceberg catalog is configured on the cluster
+  (`iceberg-spark-runtime` jar; NOT available in this sandbox). Buckets map
+  to Iceberg's `bucket(N, conv_id)` partition transform; the manifest rides
+  Iceberg snapshot metadata.
+- `ParquetManifestIO` — self-contained fallback with identical semantics:
+  hash-bucketed Parquet layout (`bucket=NNN/` directories → Spark partition
+  pruning prunes scans to pending buckets) plus a JSON checkpoint manifest
+  recording per-bucket lineage (input fingerprint), row counts, stats,
+  status, and wall time.
+
+Resume contract (north_star): a killed job restarts and re-validates ONLY
+buckets not marked done in the manifest; the bucket filter is a partition-
+directory filter, so pruning happens at the file index — done buckets are
+never even listed, let alone scanned.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from dataclasses import asdict, dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+BUCKET_PART_COL = "bucket"
+
+
+@dataclass
+class BucketEntry:
+    bucket: int
+    status: str = "pending"  # pending | done | failed
+    n_rows: int = 0
+    n_violating_rows: int = 0
+    passed: bool | None = None
+    input_fingerprint: str = ""
+    run_id: str = ""
+    wall_time_sec: float = 0.0
+    stats: dict = field(default_factory=dict)
+
+
+@dataclass
+class Manifest:
+    n_buckets: int
+    bucket_key: str
+    entries: dict[int, BucketEntry] = field(default_factory=dict)
+
+    def pending(self) -> list[int]:
+        return [
+            b for b in range(self.n_buckets)
+            if self.entries.get(b, BucketEntry(b)).status != "done"
+        ]
+
+    def to_json(self) -> str:
+        return json.dumps(
+            {
+                "n_buckets": self.n_buckets,
+                "bucket_key": self.bucket_key,
+                "entries": {str(b): asdict(e) for b, e in self.entries.items()},
+            },
+            indent=1,
+        )
+
+    @classmethod
+    def from_json(cls, s: str) -> "Manifest":
+        d = json.loads(s)
+        m = cls(n_buckets=d["n_buckets"], bucket_key=d["bucket_key"])
+        m.entries = {
+            int(b): BucketEntry(**e) for b, e in d.get("entries", {}).items()
+        }
+        return m
+
+
+class ParquetManifestIO:
+    """Hash-bucketed Parquet table + atomic JSON checkpoint manifest."""
+
+    def __init__(self, root: str):
+        self.root = root
+        self.data_dir = os.path.join(root, "data")
+        self.manifest_path = os.path.join(root, "_manifest", "manifest.json")
+
+    # ---- layout -----------------------------------------------------------
+
+    def write_bucketed(
+        self, df: DataFrame, bucket_key: str, n_buckets: int
+    ) -> Manifest:
+        """Materialize the table partitioned by hashed bucket_key.
+
+        bucket = pmod(xxhash64(key), n_buckets) — the same deterministic
+        scheme the runner's partition report uses, and the drop-in analog of
+        Iceberg's bucket() transform."""
+        out = df.withColumn(
+            BUCKET_PART_COL,
+            F.pmod(F.xxhash64(F.col(bucket_key)), F.lit(n_buckets)).cast("int"),
+        )
+        (
+            out.repartition(n_buckets, F.col(BUCKET_PART_COL))
+            .write.mode("overwrite")
+            .partitionBy(BUCKET_PART_COL)
+            .parquet(self.data_dir)
+        )
+        manifest = Manifest(n_buckets=n_buckets, bucket_key=bucket_key)
+        for b in range(n_buckets):
+            manifest.entries[b] = BucketEntry(
+                bucket=b, input_fingerprint=self._bucket_fingerprint(b)
+            )
+        self.save_manifest(manifest)
+        return manifest
+
+    def read_buckets(self, spark: SparkSession, buckets: list[int]) -> DataFrame:
+        """Partition-pruned scan of the given buckets only.
+
+        The filter on the partition column resolves at the file index —
+        `.explain` shows PartitionFilters, zero files from done buckets."""
+        df = spark.read.parquet(self.data_dir)
+        return df.filter(F.col(BUCKET_PART_COL).isin(buckets))
+
+    # ---- manifest ---------------------------------------------------------
+
+    def load_manifest(self) -> Manifest:
+        with open(self.manifest_path) as f:
+            return Manifest.from_json(f.read())
+
+    def save_manifest(self, manifest: Manifest) -> None:
+        os.makedirs(os.path.dirname(self.manifest_path), exist_ok=True)
+        tmp = self.manifest_path + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(manifest.to_json())
+        os.replace(tmp, self.manifest_path)  # atomic on POSIX
+
+    def _bucket_fingerprint(self, bucket: int) -> str:
+        """Lineage fingerprint: names+sizes of the bucket's data files."""
+        d = os.path.join(self.data_dir, f"{BUCKET_PART_COL}={bucket}")
+        if not os.path.isdir(d):
+            return ""
+        parts = sorted(
+            f"{fn}:{os.path.getsize(os.path.join(d, fn))}"
+            for fn in os.listdir(d)
+            if fn.endswith(".parquet")
+        )
+        import hashlib
+
+        return hashlib.md5("|".join(parts).encode()).hexdigest()
+
+
+class IcebergIO:
+    """Iceberg-backed variant: same interface, activates when the runtime
+    jar + catalog are configured (real cluster). Bucketing uses the native
+    `bucket(N, key)` partition transform; lineage rides snapshot ids.
+
+    Not constructible in this sandbox (no jar, no network) — methods raise
+    with a clear message so accidental use fails loudly rather than
+    silently falling back."""
+
+    def __init__(self, table: str):
+        self.table = table
+
+    def _unavailable(self):
+        raise RuntimeError(
+            "IcebergIO requires iceberg-spark-runtime on the classpath and a "
+            "configured catalog; use ParquetManifestIO in jar-less "
+            "environments (identical resume semantics)."
+        )
+
+    def write_bucketed(self, df: DataFrame, bucket_key: str, n_buckets: int):
+        self._unavailable()
+
+    def read_buckets(self, spark: SparkSession, buckets: list[int]):
+        self._unavailable()
+
+
+# ---------------------------------------------------------------------------
+# Resumable validation driver
+# ---------------------------------------------------------------------------
+
+def run_resumable(
+    spark: SparkSession,
+    io: ParquetManifestIO,
+    spec,
+    dims: dict[str, DataFrame] | None = None,
+    chunk_size: int = 8,
+    max_chunks: int | None = None,
+    violations_dir: str | None = None,
+) -> dict:
+    """Validate all pending buckets, checkpointing the manifest per chunk.
+
+    Buckets are processed in chunks of ``chunk_size``; after each chunk the
+    manifest is atomically rewritten, so a kill loses at most one chunk of
+    work. ``max_chunks`` bounds this run (used by tests to simulate a kill).
+
+    Returns {"processed": [...buckets], "skipped": [...already-done]}.
+    """
+    from pysemantic_spark.operators.runner import execute
+
+    manifest = io.load_manifest()
+    pending = manifest.pending()
+    skipped = [b for b in range(manifest.n_buckets) if b not in pending]
+    run_id = uuid.uuid4().hex[:12]
+    violations_dir = violations_dir or os.path.join(io.root, "violations")
+
+    processed: list[int] = []
+    chunks = [
+        pending[i:i + chunk_size] for i in range(0, len(pending), chunk_size)
+    ]
+    if max_chunks is not None:
+        chunks = chunks[:max_chunks]
+
+    for chunk in chunks:
+        t0 = time.time()
+        df = io.read_buckets(spark, chunk).drop(BUCKET_PART_COL)
+        out = execute(
+            spark,
+            df,
+            spec,
+            dims=dims,
+            bucket_by=manifest.bucket_key,
+            n_buckets=manifest.n_buckets,
+            violations_sink=os.path.join(violations_dir, f"run={run_id}", f"chunk={chunk[0]}"),
+        )
+        wall = time.time() - t0
+        report = out["partition_report"].set_index("bucket")
+        stats = out["stats"].to_dict(orient="records")
+        for b in chunk:
+            e = manifest.entries.get(b) or BucketEntry(b)
+            if b in report.index:
+                e.n_rows = int(report.loc[b, "n_rows"])
+                e.n_violating_rows = int(report.loc[b, "n_violating_rows"])
+                e.passed = bool(report.loc[b, "passed"])
+            else:  # bucket empty
+                e.n_rows = 0
+                e.n_violating_rows = 0
+                e.passed = True
+            e.status = "done"
+            e.run_id = run_id
+            e.wall_time_sec = round(wall / len(chunk), 3)
+            e.input_fingerprint = io._bucket_fingerprint(b)
+            e.stats = {"n_chunk_rows": out["n_rows"], "chunk_stats": stats} if b == chunk[0] else {}
+            manifest.entries[b] = e
+        io.save_manifest(manifest)
+        processed.extend(chunk)
+
+    return {"processed": processed, "skipped": skipped, "run_id": run_id}

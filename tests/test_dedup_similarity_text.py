@@ -1,0 +1,193 @@
+"""Dedup family, similarity search, and text functions vs small oracles."""
+
+from __future__ import annotations
+
+import itertools
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from pysemantic_spark.functions import text as tx
+from pysemantic_spark.operators import dedup, similarity
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "the quick brown fox jumps over the lazy cat"),      # near-dup of 0
+    (2, "completely different content about spark engines"),
+    (3, "the quick brown fox jumps over the lazy dog"),      # exact dup of 0
+    (4, "spark engines process completely different content"),
+    (5, ""),                                                  # degenerate
+    (6, "tiny"),
+]
+
+
+def _jaccard(a: str, b: str, n: int = 2) -> float:
+    def sh(t):
+        toks = t.split()
+        return set(" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1))
+    A, B = sh(a), sh(b)
+    return len(A & B) / len(A | B) if A | B else 0.0
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(pd.DataFrame(DOCS, columns=["doc_id", "text"]))
+
+
+def test_exact_duplicates(spark, docs_df):
+    got = dedup.exact_duplicates(docs_df, ["text"]).collect()
+    assert len(got) == 1 and got[0]["dup_count"] == 2
+
+
+def test_fingerprint_duplicates_whitespace_insensitive(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2], "text": ["A  b\tc", "a b c"]})
+    )
+    got = dedup.text_fingerprint_duplicates(df, "doc_id", "text").collect()
+    assert len(got) == 1 and got[0]["ids"] == [1, 2]
+
+
+def test_ngram_jaccard_matches_python_oracle(spark, docs_df):
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(
+            docs_df, "doc_id", "text", n=2, threshold=0.3
+        ).collect()
+    }
+    exp = {}
+    for (i, a), (j, b) in itertools.combinations(DOCS, 2):
+        jc = _jaccard(a, b, 2)
+        if jc >= 0.3:
+            exp[(i, j)] = round(jc, 6)
+    assert got == exp
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs_df):
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_lsh_pairs(
+            docs_df, "doc_id", "text", n=2, num_hashes=64, bands=32, threshold=0.3
+        ).collect()
+    }
+    assert (0, 3) in got  # exact dup always collides
+    assert (0, 1) in got  # near dup (j≈0.78)
+    assert all(_jaccard(DOCS[a][1], DOCS[b][1], 2) >= 0.3 for a, b in got)
+
+
+def test_simhash_exact_dup_zero_hamming(spark, docs_df):
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in dedup.simhash_near_dup_pairs(
+            docs_df, "doc_id", "text", max_hamming=10
+        ).collect()
+    }
+    assert got.get((0, 3)) == 0
+    assert (0, 2) not in got  # dissimilar docs far apart
+
+
+def test_keep_first_deterministic(spark):
+    pdf = pd.DataFrame(
+        {"k": [1, 1, 2], "ord": [5, 3, 9], "v": ["late", "early", "solo"]}
+    )
+    df = spark.createDataFrame(pdf)
+    got = dedup.exact_dedup_keep_first(df, ["k"], ["ord"]).orderBy("k").collect()
+    assert [r["v"] for r in got] == ["early", "solo"]
+
+
+# --- similarity -------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def emb_df(spark):
+    rng = np.random.default_rng(3)
+    vecs = rng.standard_normal((50, 8)).astype(float)
+    vecs[7] = vecs[0] * 2.0           # same direction as 0 → cosine 1
+    vecs[9] = -vecs[0]                # opposite
+    pdf = pd.DataFrame(
+        {"vec_id": range(50), "embedding": [list(map(float, v)) for v in vecs]}
+    )
+    return spark.createDataFrame(pdf), vecs
+
+
+def test_cosine_topk_exact(spark, emb_df):
+    df, vecs = emb_df
+    queries = df.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = similarity.cosine_topk(df, queries, k=3).collect()
+    # oracle: numpy cosine
+    q = vecs[0]
+    cos = vecs @ q / (np.linalg.norm(vecs, axis=1) * np.linalg.norm(q))
+    order = sorted(range(50), key=lambda i: (-round(cos[i], 6), i))[:3]
+    assert [r["vec_id"] for r in got] == order
+    assert got[0]["cos_sim"] == 1.0 and {r["vec_id"] for r in got} >= {0, 7}
+
+
+def test_lsh_topk_subset_of_bucket(spark, emb_df):
+    df, vecs = emb_df
+    queries = df.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = similarity.lsh_bucketed_topk(df, queries, dim=8, k=5, n_planes=4).collect()
+    assert 0 in {r["vec_id"] for r in got}  # identical vector same bucket
+    assert all(r["cos_sim"] <= 1.000001 for r in got)
+
+
+def test_embedding_near_dup_pairs(spark, emb_df):
+    df, _ = emb_df
+    got = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in similarity.embedding_near_dup_pairs(
+            df, dim=8, threshold=0.999, n_planes=4
+        ).collect()
+    }
+    assert got.get((0, 7)) == 1.0
+    assert (0, 9) not in got
+
+
+# --- text functions ----------------------------------------------------------
+
+def test_text_functions(spark):
+    pdf = pd.DataFrame(
+        {
+            "t": [
+                "the cat and the dog",
+                "",
+                "  spaced   out  ",
+                "¡¡¡???",
+            ]
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    got = df.select(
+        tx.token_count("t").alias("n"),
+        tx.distinct_token_count("t").alias("d"),
+        F.round(tx.punct_ratio("t"), 4).alias("p"),
+        tx.lang_id("t").alias("lang"),
+        tx.fingerprint("t").alias("fp"),
+    ).collect()
+    assert [r["n"] for r in got] == [5, 0, 2, 1]
+    assert [r["d"] for r in got] == [4, 0, 2, 1]
+    assert got[0]["lang"] == "en"
+    assert got[1]["lang"] == "und"
+    assert got[3]["p"] == 1.0
+    import hashlib
+
+    assert got[0]["fp"] == hashlib.md5(b"the cat and the dog").hexdigest()
+    assert got[2]["fp"] == hashlib.md5(b"spaced out").hexdigest()
+
+
+def test_quality_score_ordering(spark):
+    pdf = pd.DataFrame(
+        {
+            "t": [
+                "the quick brown fox is a fine and healthy animal of the forest",
+                "!!!! ???? @@@@ ####",
+            ]
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    got = [r[0] for r in df.select(tx.quality_score("t")).collect()]
+    assert got[0] > got[1]
+    assert 0.0 <= got[1] <= got[0] <= 1.0

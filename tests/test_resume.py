@@ -1,0 +1,86 @@
+"""Checkpoint/resume: kill after K chunks → rerun validates ONLY the
+remaining buckets, and the combined result equals a never-killed run
+(SURVEY.md §5.2 item 4)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pysemantic_spark.fixtures import dim_tools_pdf, transcripts_pdf, transcripts_spec
+from pysemantic_spark.sources.tableio import ParquetManifestIO, run_resumable
+
+N_BUCKETS = 8
+
+
+@pytest.fixture(scope="module")
+def table(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("tbl"))
+    pdf = transcripts_pdf(n_rows=6_000)
+    df = spark.createDataFrame(pdf)
+    io = ParquetManifestIO(root)
+    io.write_bucketed(df, "conv_id", N_BUCKETS)
+    dims = {"dim_tools": spark.createDataFrame(dim_tools_pdf())}
+    return io, dims, len(pdf)
+
+
+def test_partition_pruning_in_plan(spark, table):
+    io, _, _ = table
+    plan = io.read_buckets(spark, [1, 3]).queryExecution if False else None
+    df = io.read_buckets(spark, [1, 3])
+    physical = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in physical
+    got_buckets = {r["bucket"] for r in df.select("bucket").distinct().collect()}
+    assert got_buckets <= {1, 3}
+
+
+def test_kill_and_resume(spark, table):
+    io, dims, n_total = table
+    spec = transcripts_spec()
+
+    # simulated kill: only 2 chunks of 2 buckets complete
+    first = run_resumable(spark, io, spec, dims=dims, chunk_size=2, max_chunks=2)
+    assert len(first["processed"]) == 4
+    m = io.load_manifest()
+    assert len(m.pending()) == N_BUCKETS - 4
+
+    # resume: must process exactly the remaining buckets
+    second = run_resumable(spark, io, spec, dims=dims, chunk_size=2)
+    assert sorted(second["processed"]) == sorted(m.pending())
+    assert sorted(second["skipped"]) == sorted(first["processed"])
+
+    final = io.load_manifest()
+    assert final.pending() == []
+    assert sum(e.n_rows for e in final.entries.values()) == n_total
+    # lineage recorded for every bucket
+    assert all(e.input_fingerprint for e in final.entries.values())
+    assert all(e.run_id for e in final.entries.values())
+    # two distinct run ids prove the split execution
+    assert len({e.run_id for e in final.entries.values()}) == 2
+
+
+def test_resume_matches_single_run(spark, table, tmp_path):
+    """Killed+resumed totals equal a fresh single run on the same data."""
+    io, dims, _ = table
+    spec = transcripts_spec()
+    root2 = str(tmp_path / "tbl2")
+    io2 = ParquetManifestIO(root2)
+    df = io.read_buckets(spark, list(range(N_BUCKETS))).drop("bucket")
+    io2.write_bucketed(df, "conv_id", N_BUCKETS)
+    run_resumable(spark, io2, spec, dims=dims, chunk_size=N_BUCKETS)
+
+    m_split = io.load_manifest()
+    m_single = io2.load_manifest()
+    for b in range(N_BUCKETS):
+        assert m_split.entries[b].n_rows == m_single.entries[b].n_rows, b
+        assert (
+            m_split.entries[b].n_violating_rows
+            == m_single.entries[b].n_violating_rows
+        ), b
+
+
+def test_idempotent_when_done(spark, table):
+    io, dims, _ = table
+    third = run_resumable(spark, io, transcripts_spec(), dims=dims)
+    assert third["processed"] == []
+    assert len(third["skipped"]) == N_BUCKETS
