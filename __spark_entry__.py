@@ -244,6 +244,50 @@ def q_cosine_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk(emb, queries, k=5)
 
 
+def q_psi_drift_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """distribution-drift PSI of n_chars, even- vs odd-doc_id halves."""
+    from pysemantic_spark.operators.drift import psi_between
+
+    docs = _read(spark, sf_dir, "documents")
+    base = docs.filter(F.col("doc_id") % 2 == 0)
+    cur = docs.filter(F.col("doc_id") % 2 == 1)
+    return psi_between(base, cur, "n_chars", lo=0.0, hi=600.0, n_bins=20)
+
+
+def q_quality_score_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """composite text-quality scoring (pretraining-filter analog)."""
+    from pysemantic_spark.functions.text import quality_score
+
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select("doc_id", quality_score("text").alias("quality"))
+
+
+def q_events_hourly_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """time-windowed aggregation (batch analog of the streaming windows)."""
+    ev = _read(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+    )
+
+
+def q_lsh_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-k (scale path; rows-only oracle)."""
+    emb = _read(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.lsh_bucketed_topk(emb, queries, dim=64, k=5, n_planes=6)
+
+
 def q_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """embedding-cosine near-dup pairs via LSH buckets (rows-only oracle)."""
     emb = _read(spark, sf_dir, "embeddings").withColumn(
@@ -287,6 +331,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_neardups_documents": q_simhash_neardups_documents,
         "cosine_topk_embeddings": q_cosine_topk_embeddings,
         "embedding_neardup_pairs": q_embedding_neardup_pairs,
+        "psi_drift_documents": q_psi_drift_documents,
+        "quality_score_documents": q_quality_score_documents,
+        "events_hourly_agg": q_events_hourly_agg,
+        "lsh_topk_embeddings": q_lsh_topk_embeddings,
     }
 
 
@@ -476,6 +524,59 @@ def oracle_sql() -> dict[str, str]:
             QUALIFY row_number() OVER (
                 PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC) <= 5
         """,
+        "psi_drift_documents": """
+            WITH binned AS (
+                SELECT CASE WHEN n_chars IS NULL THEN NULL
+                            WHEN n_chars < 0 THEN 0
+                            WHEN n_chars >= 600 THEN 21
+                            ELSE (floor((n_chars - 0.0) / 30.0))::INT + 1 END AS bin,
+                       doc_id % 2 AS half
+                FROM documents
+            ),
+            grid AS (SELECT unnest(range(22)) AS bin),
+            b AS (SELECT bin, count(*) cb FROM binned WHERE half = 0 AND bin IS NOT NULL GROUP BY 1),
+            c AS (SELECT bin, count(*) cc FROM binned WHERE half = 1 AND bin IS NOT NULL GROUP BY 1),
+            j AS (
+                SELECT coalesce(cb, 0) AS cb, coalesce(cc, 0) AS cc
+                FROM grid LEFT JOIN b USING (bin) LEFT JOIN c USING (bin)
+            ),
+            t AS (SELECT sum(cb)::DOUBLE tb, sum(cc)::DOUBLE tc FROM j)
+            SELECT 'n_chars' AS "column",
+                   round(sum(((cb + 1)/(tb + 22) - (cc + 1)/(tc + 22))
+                         * ln(((cb + 1)/(tb + 22)) / ((cc + 1)/(tc + 22)))), 6) AS psi
+            FROM j CROSS JOIN t
+        """,
+        "quality_score_documents": r"""
+            WITH f AS (
+                SELECT doc_id,
+                       length(text) AS n,
+                       CASE WHEN length(text) >= 50 AND length(text) <= 100000
+                            THEN 1.0 WHEN length(text) > 0 THEN 0.3 ELSE 0.0
+                       END AS len_ok,
+                       CASE WHEN length(text) > 0
+                            THEN length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))
+                                 * 1.0 / length(text)
+                            ELSE 0.0 END AS punct,
+                       CASE WHEN trim(text) = '' THEN 0.0
+                            ELSE len(list_filter(string_split_regex(trim(text), '\s+'),
+                                     t -> lower(t) IN ('the','and','of','to','is')))
+                                 * 1.0
+                                 / len(string_split_regex(trim(text), '\s+'))
+                       END AS sw
+                FROM documents
+            )
+            SELECT doc_id,
+                   round(len_ok * 0.4
+                         + (1.0 - least(punct * 4, 1.0)) * 0.3
+                         + least(sw * 5, 1.0) * 0.3, 6) AS quality
+            FROM f
+        """,
+        "events_hourly_agg": """
+            SELECT date_trunc('hour', ts) AS hour, event_type,
+                   count(*) AS n, round(sum(value), 4) AS total_value
+            FROM events GROUP BY 1, 2
+        """,
         # minhash_lsh_pairs_documents, simhash_neardups_documents,
-        # embedding_neardup_pairs: hash-function-specific → rows-only check.
+        # embedding_neardup_pairs, lsh_topk_embeddings:
+        # hash-/plane-seed-specific → rows-only check.
     }

@@ -28,6 +28,48 @@ _VOCAB = (
 _CORPUS = " ".join(_VOCAB * 40)  # ~10k chars to slice windows from
 
 
+def write_transcripts_parquet(
+    path: str,
+    n_rows: int,
+    seed: int = SEED,
+    skew_conv_frac: float = 0.0,
+    chunk_rows: int = 2_000_000,
+) -> int:
+    """Write a large transcripts table directly with pyarrow (no Spark, no
+    driver-memory spike): one parquet file per chunk, each chunk generated
+    with an independent derived seed. Returns total rows written."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import os
+    import shutil
+
+    if os.path.isdir(path):
+        shutil.rmtree(path)
+    os.makedirs(path, exist_ok=True)
+    total = 0
+    i = 0
+    while total < n_rows:
+        take = min(chunk_rows, n_rows - total)
+        pdf = transcripts_pdf(
+            n_rows=take,
+            seed=seed + i,
+            skew_conv_frac=skew_conv_frac if i == 0 else 0.0,
+        )
+        # disambiguate conv_ids across chunks while preserving the
+        # ^c[0-9]{8}$ shape (injected bad-ids stay untouched)
+        if i > 0:
+            ok = pdf["conv_id"].str.match(r"^c[0-9]{8}$")
+            nums = pdf.loc[ok, "conv_id"].str[1:].astype(int) + i * 3_000_000
+            pdf.loc[ok, "conv_id"] = "c" + nums.astype(str).str.zfill(8)
+        # Spark cannot read TIMESTAMP(NANOS) parquet — force microseconds
+        pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+        table = pa.Table.from_pandas(pdf, preserve_index=False)
+        pq.write_table(table, os.path.join(path, f"part-{i:04d}.parquet"))
+        total += len(pdf)
+        i += 1
+    return total
+
+
 def dim_tools_pdf() -> pd.DataFrame:
     cats = ["io", "web", "code", "math"]
     return pd.DataFrame(

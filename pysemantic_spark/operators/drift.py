@@ -112,6 +112,52 @@ def categorical_psi(baseline: dict[str, int], current: dict[str, int]) -> float:
     return out
 
 
+def psi_between(
+    baseline: DataFrame,
+    current: DataFrame,
+    col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 20,
+) -> DataFrame:
+    """Distributed PSI between two frames as a 1-row DataFrame
+    (column, psi) — fully declarative so external engines can replicate it
+    bit-for-bit (Laplace-smoothed: p_i = (c_i + 1) / (t + n_bins + 2)).
+
+    Two pruned scans (only ``col``), two partial+final aggs of ≤ n_bins+2
+    groups, one tiny join — nothing here grows with input size."""
+    def binned(df: DataFrame, name: str) -> DataFrame:
+        return (
+            df.select(bin_expr(col, lo, hi, n_bins).alias("bin"))
+            .filter(F.col("bin").isNotNull())
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).alias(name))
+        )
+
+    nb = n_bins + 2
+    b = binned(baseline, "cb")
+    c = binned(current, "cc")
+    bins = baseline.sparkSession.range(0, nb).select(F.col("id").cast("int").alias("bin"))
+    joined = (
+        bins.join(b, "bin", "left")
+        .join(c, "bin", "left")
+        .select(
+            F.coalesce("cb", F.lit(0)).alias("cb"),
+            F.coalesce("cc", F.lit(0)).alias("cc"),
+        )
+    )
+    tb = F.sum("cb").cast("double")
+    tc = F.sum("cc").cast("double")
+    # evaluate via a two-step agg: totals first (scalar subquery-free)
+    totals = joined.agg(tb.alias("tb"), tc.alias("tc"))
+    with_tot = joined.crossJoin(F.broadcast(totals))
+    p = (F.col("cb") + 1) / (F.col("tb") + nb)
+    q = (F.col("cc") + 1) / (F.col("tc") + nb)
+    return with_tot.agg(
+        F.round(F.sum((p - q) * F.log(p / q)), 6).alias("psi")
+    ).select(F.lit(col).alias("column"), "psi")
+
+
 def ecdf_sketch_arrow(
     df: DataFrame, col: str, bucket_col: str, n_quantiles: int = 101
 ) -> pd.DataFrame:

@@ -208,6 +208,10 @@ def validate(
         clean = uniq_part.unionByName(dup_kept)
     clean = clean.select(*input_cols)
 
+    # --- postprocessors: applied to survivors only (reference order:
+    # SeriesValidator.postprocessors on cleaned series, then df-level) -----
+    clean = _apply_postprocessors(clean, plan.spec)
+
     # --- wide stats agg: one partial+final pass ----------------------------
     agg_exprs = _stat_agg_exprs(df)
     check_count_exprs = [
@@ -371,6 +375,24 @@ def execute(
         "dupes": dupes_pdf,
         "violations_path": violations_sink,
     }
+
+
+def _apply_postprocessors(df: DataFrame, spec: DatasetSpec) -> DataFrame:
+    """Column postprocessors = named vectorized pandas fns (Arrow batches);
+    df postprocessors = named DataFrame transforms. No per-row Python."""
+    from pysemantic_spark.sources.readers import (
+        CONVERTER_REGISTRY,
+        POSTPROCESSOR_REGISTRY,
+    )
+
+    for col, rules in spec.column_rules.items():
+        for name in rules.postprocessors:
+            fn = CONVERTER_REGISTRY[name]
+            udf = F.pandas_udf(fn, returnType=df.schema[col].dataType)
+            df = df.withColumn(col, udf(F.col(col)))
+    for name in spec.postprocessors:
+        df = df.transform(POSTPROCESSOR_REGISTRY[name])
+    return df
 
 
 def _unpivot_stats(wide: DataFrame, stat_cols: list[str]) -> DataFrame:

@@ -43,6 +43,18 @@ def register_converter(name: str, fn: Callable[[pd.Series], pd.Series]) -> None:
     CONVERTER_REGISTRY[name] = fn
 
 
+# named DataFrame→DataFrame postprocessors (reference: df-level
+# `postprocessors` spec key, DataFrameValidator ≈L500); applied via
+# df.transform AFTER cleaning
+POSTPROCESSOR_REGISTRY: dict[str, Callable[[DataFrame], DataFrame]] = {
+    "drop_empty_strings": lambda df: df.na.replace("", None),
+}
+
+
+def register_postprocessor(name: str, fn: Callable[[DataFrame], DataFrame]) -> None:
+    POSTPROCESSOR_REGISTRY[name] = fn
+
+
 def infer_format(path: str, declared: str | None) -> str:
     if declared:
         return declared

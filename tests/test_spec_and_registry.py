@@ -171,3 +171,27 @@ def test_cli_registry_commands(project_env):
     )
     assert out.returncode == 0
     assert "testproj" in out.stdout
+
+
+def test_postprocessors_applied_to_clean_only(spark):
+    """Column + df postprocessors run on survivors (reference clean() order)."""
+    import pandas as pd
+    from pysemantic_spark.operators.runner import validate
+    from pysemantic_spark.sources.readers import register_postprocessor
+
+    from pyspark.sql import functions as F
+
+    register_postprocessor("add_tag", lambda df: df.withColumn("tag", F.lit("ok")))
+    pdf = pd.DataFrame({"name": [" a ", " b ", None], "v": [1, 2, 3]})
+    spec = DatasetSpec.from_dict(
+        "t",
+        {
+            "column_rules": {"name": {"is_drop_na": True, "postprocessors": ["strip"]}},
+            "postprocessors": ["add_tag"],
+        },
+    )
+    res = validate(spark, spark.createDataFrame(pdf), spec)
+    got = res.clean.orderBy("v").collect()
+    assert [r["name"] for r in got] == ["a", "b"]      # stripped
+    assert all(r["tag"] == "ok" for r in got)          # df postprocessor
+    assert res.violations.count() == 1                  # null name dropped
