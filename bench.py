@@ -36,11 +36,16 @@ def ensure_transcripts(spark: SparkSession, n_rows: int) -> tuple[str, str]:
     tpath = os.path.join(CACHE_DIR, f"transcripts_{n_rows}.parquet")
     dpath = os.path.join(CACHE_DIR, "dim_tools.parquet")
     if not os.path.exists(tpath):
-        from pysemantic_spark.fixtures import dim_tools_pdf, transcripts_pdf
+        # pyarrow writer: no Spark-driver memory spike, no JVM heap pollution
+        from pysemantic_spark.fixtures import dim_tools_pdf, write_transcripts_parquet
 
         os.makedirs(CACHE_DIR, exist_ok=True)
-        pdf = transcripts_pdf(n_rows=n_rows, skew_conv_frac=0.01)
-        spark.createDataFrame(pdf).repartition(CPUS).write.mode("overwrite").parquet(tpath)
+        write_transcripts_parquet(
+            tpath, n_rows, skew_conv_frac=0.01, chunk_rows=1_000_000
+        )
+    if not os.path.exists(dpath):
+        from pysemantic_spark.fixtures import dim_tools_pdf
+
         spark.createDataFrame(dim_tools_pdf()).write.mode("overwrite").parquet(dpath)
     return tpath, dpath
 

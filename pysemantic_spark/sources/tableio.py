@@ -88,19 +88,30 @@ class ParquetManifestIO:
     # ---- layout -----------------------------------------------------------
 
     def write_bucketed(
-        self, df: DataFrame, bucket_key: str, n_buckets: int
+        self, df: DataFrame, bucket_key: str, n_buckets: int,
+        salt_factor: int = 4, entropy_cols: tuple[str, ...] = (),
     ) -> Manifest:
         """Materialize the table partitioned by hashed bucket_key.
 
         bucket = pmod(xxhash64(key), n_buckets) — the same deterministic
         scheme the runner's partition report uses, and the drop-in analog of
-        Iceberg's bucket() transform."""
+        Iceberg's bucket() transform.
+
+        The write repartitions on (bucket, salt) — the explicit salted
+        repartitioning the north_rule requires: a conversation holding 1%
+        of 10^12 rows would otherwise pin its entire bucket's write to one
+        task; the salt spreads each bucket over salt_factor writer tasks
+        (directory layout is unchanged — partitionBy(bucket) still routes
+        rows to bucket=NNN/, just from several tasks in parallel)."""
+        from pysemantic_spark.operators.skew import salt_expr
+
         out = df.withColumn(
             BUCKET_PART_COL,
             F.pmod(F.xxhash64(F.col(bucket_key)), F.lit(n_buckets)).cast("int"),
-        )
+        ).withColumn("_salt", salt_expr(salt_factor, *entropy_cols))
         (
-            out.repartition(n_buckets, F.col(BUCKET_PART_COL))
+            out.repartition(n_buckets * salt_factor, F.col(BUCKET_PART_COL), F.col("_salt"))
+            .drop("_salt")
             .write.mode("overwrite")
             .partitionBy(BUCKET_PART_COL)
             .parquet(self.data_dir)

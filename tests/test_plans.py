@@ -1,0 +1,104 @@
+"""Physical-plan regression tests: the properties that matter at 100 TB.
+
+These assert the *shape* of the plan, not timings — a regression that adds a
+second full scan, loses broadcast, or widens a pruned read schema fails here
+long before it shows up in a benchmark.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from pysemantic_spark.fixtures import dim_tools_pdf, transcripts_pdf, transcripts_spec
+from pysemantic_spark.operators import dedup, similarity
+from pysemantic_spark.operators.runner import validate
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def parts(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("plans")
+    tpath = str(root / "transcripts.parquet")
+    spark.createDataFrame(transcripts_pdf(3_000)).write.parquet(tpath)
+    df = spark.read.parquet(tpath)
+    dims = {"dim_tools": spark.createDataFrame(dim_tools_pdf())}
+    res = validate(spark, df, transcripts_spec(), dims=dims, bucket_by="conv_id")
+    return df, dims, res
+
+
+def test_fused_pass_scans_table_exactly_once(parts):
+    _, _, res = parts
+    plan = _plan(res.violations)
+    # the fact table is scanned ONCE — never one scan per check
+    assert plan.count("transcripts.parquet") == 1, plan
+
+
+def test_referential_is_broadcast_not_shuffle(parts):
+    _, _, res = parts
+    plan = _plan(res.violations)
+    assert "BroadcastHashJoin" in plan
+    # the FACT side must not be exchanged for the join: the only Exchange
+    # allowed in this plan feeds the broadcast (dim dedup)
+    fact_exchanges = [
+        ln for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln and "tool" not in ln
+    ]
+    assert fact_exchanges == [], fact_exchanges
+
+
+def test_dupes_scan_is_column_pruned(parts):
+    _, _, res = parts
+    plan = _plan(res.dupes)
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    assert cols == {"conv_id", "turn_idx"}, cols
+    assert "partial_count" in plan  # map-side combine before the exchange
+
+
+def test_stats_agg_is_partial_then_final(parts):
+    _, _, res = parts
+    plan = _plan(res.stats)
+    assert "partial_" in plan
+    # single-row result: one fact scan feeds the whole wide agg
+    assert plan.count("transcripts.parquet") == 1
+
+
+def test_filter_pushdown_reaches_scan(spark, parts):
+    df, _, _ = parts
+    plan = _plan(df.filter(F.col("role") == "tool").select("conv_id"))
+    assert "PushedFilters: [IsNotNull(role), EqualTo(role,tool)]" in plan
+
+
+def test_cosine_topk_broadcasts_queries(spark):
+    import pandas as pd
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    pdf = pd.DataFrame(
+        {"vec_id": range(100),
+         "embedding": [list(map(float, rng.standard_normal(8))) for _ in range(100)]}
+    )
+    corpus = spark.createDataFrame(pdf)
+    queries = corpus.limit(2).select(F.col("vec_id").alias("query_id"), "embedding")
+    plan = _plan(similarity.cosine_topk(corpus, queries, k=3))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    # corpus side must not shuffle for the join itself
+    assert "CartesianProduct" not in plan
+
+
+def test_ngram_inverted_index_no_cartesian(spark):
+    import pandas as pd
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(20),
+                      "text": [f"w{i} common words here {i}" for i in range(20)]})
+    )
+    plan = _plan(dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=2, threshold=0.5))
+    assert "CartesianProduct" not in plan
+    assert "shingle" in plan  # equi-join on the shingle key
