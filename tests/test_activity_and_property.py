@@ -1,0 +1,86 @@
+"""F4 activity fixture parity (datetime dtype, regex, df-level dedup, nrows)
++ a hypothesis property: for arbitrary rule sets, the fused Spark runner's
+survivors equal the pandas oracle's survivors."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pysemantic_spark.fixtures import activity_pdf, pandas_oracle
+from pysemantic_spark.operators.runner import validate
+from pysemantic_spark.spec import DatasetSpec
+
+
+def test_activity_datetime_and_dedup(spark, tmp_path):
+    pdf = activity_pdf(500)
+    pdf_with_dups = pd.concat([pdf, pdf.head(20)], ignore_index=True)
+    csv = tmp_path / "activity.tsv"
+    pdf_with_dups.to_csv(csv, sep="\t", index=False)
+    spec = DatasetSpec.from_dict(
+        "activity",
+        {
+            "path": str(csv),
+            "format": "tsv",
+            "dtypes": {
+                "sequence_name": "str", "tag": "str", "date": "datetime",
+                "x": "float", "y": "float", "z": "float", "activity": "str",
+            },
+            "drop_duplicates": True,
+            "column_rules": {
+                "sequence_name": {"regex": "^[A-E]0[0-9]$"},
+                "date": {"min": "2026-01-01 00:00:00"},
+            },
+        },
+    )
+    from pysemantic_spark.sources.readers import load_dataset
+
+    df = load_dataset(spark, spec)
+    assert dict(df.dtypes)["date"] == "timestamp"
+    res = validate(spark, df, spec)
+    # df-level dedup removed the 20 re-appended rows before rule evaluation
+    assert res.flagged.count() == 500
+    counts = {r["check_name"]: r["n_violations"] for r in res.check_counts.collect()}
+    assert counts["regex:sequence_name"] == 0
+    assert counts["min:date"] == 0
+    # nrows limit honored at scan
+    spec_n = DatasetSpec.from_dict("a2", {"path": str(csv), "format": "tsv", "nrows": 50})
+    assert load_dataset(spark, spec_n).count() == 50
+
+
+_rule_strategy = st.fixed_dictionaries(
+    {},
+    optional={
+        "min": st.integers(min_value=-5, max_value=5),
+        "max": st.integers(min_value=6, max_value=20),
+        "is_drop_na": st.booleans(),
+        "exclude": st.lists(
+            st.integers(min_value=-5, max_value=20), min_size=1, max_size=3
+        ),
+    },
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rules=_rule_strategy,
+    values=st.lists(
+        st.one_of(st.none(), st.integers(min_value=-10, max_value=25)),
+        min_size=5,
+        max_size=40,
+    ),
+)
+def test_fused_runner_equals_pandas_oracle(spark, rules, values):
+    pdf = pd.DataFrame({"k": range(len(values)), "v": pd.array(values, dtype="Int64")})
+    spec = DatasetSpec.from_dict("p", {"column_rules": {"v": rules}})
+    res = validate(spark, spark.createDataFrame(pdf), spec)
+    got = sorted(r["k"] for r in res.clean.select("k").collect())
+    oracle = pandas_oracle(pdf, spec, {})
+    exp = sorted(oracle["clean"]["k"].tolist())
+    assert got == exp
