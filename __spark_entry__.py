@@ -288,6 +288,68 @@ def q_lsh_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_bucketed_topk(emb, queries, dim=64, k=5, n_planes=6)
 
 
+def q_event_gaps_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """window lag(): inter-event gap seconds per user (ordering analog of
+    the per-turn ts monotonicity check)."""
+    from pyspark.sql import Window
+
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            (
+                F.col("ts").cast("timestamp").cast("long")
+                - F.lag(F.col("ts").cast("timestamp").cast("long")).over(w)
+            ).alias("gap_sec"),
+        )
+        # first event per user has no predecessor: exclude so the column is
+        # null-free (pandas keeps int64 on both engines)
+        .filter(F.col("gap_sec").isNotNull())
+    )
+
+
+def q_events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sessionization: new session when gap > 30 min (window + cumulative
+    sum) — the batch shape of stateful streaming session windows."""
+    from pyspark.sql import Window
+
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    with_gap = ev.withColumn(
+        "gap", F.col("ts").cast("timestamp").cast("long") - F.lag(F.col("ts").cast("timestamp").cast("long")).over(w)
+    )
+    new_sess = F.when(F.col("gap").isNull() | (F.col("gap") > 1800), 1).otherwise(0)
+    with_sess = with_gap.withColumn(
+        "session_id", F.sum(new_sess).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        with_sess.groupBy("user_id", "session_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+def q_value_percentiles_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """exact percentiles per group (linear interpolation)."""
+    ev = _read(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+    )
+
+
+def q_distinct_counts_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """exact distinct counts (test-path analog of the HLL stats)."""
+    li = _read(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.countDistinct("l_orderkey").alias("d_orders"),
+        F.countDistinct("l_partkey").alias("d_parts"),
+        F.countDistinct("l_returnflag", "l_linestatus").alias("d_flag_status"),
+    )
+
+
 def q_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """embedding-cosine near-dup pairs via LSH buckets (rows-only oracle)."""
     emb = _read(spark, sf_dir, "embeddings").withColumn(
@@ -331,6 +393,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_neardups_documents": q_simhash_neardups_documents,
         "cosine_topk_embeddings": q_cosine_topk_embeddings,
         "embedding_neardup_pairs": q_embedding_neardup_pairs,
+        "event_gaps_lag": q_event_gaps_lag,
+        "events_sessionization": q_events_sessionization,
+        "value_percentiles_events": q_value_percentiles_events,
+        "distinct_counts_lineitem": q_distinct_counts_lineitem,
         "psi_drift_documents": q_psi_drift_documents,
         "quality_score_documents": q_quality_score_documents,
         "events_hourly_agg": q_events_hourly_agg,
@@ -523,6 +589,45 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, vec_id, cos_sim FROM scored
             QUALIFY row_number() OVER (
                 PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC) <= 5
+        """,
+        "event_gaps_lag": """
+            SELECT * FROM (
+                SELECT user_id, event_id,
+                       floor(epoch(ts))::BIGINT
+                       - lag(floor(epoch(ts))::BIGINT) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id) AS gap_sec
+                FROM events
+            ) WHERE gap_sec IS NOT NULL
+        """,
+        "events_sessionization": """
+            WITH g AS (
+                SELECT user_id, event_id, ts,
+                       floor(epoch(ts))::BIGINT - lag(floor(epoch(ts))::BIGINT) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id) AS gap
+                FROM events
+            ),
+            s AS (
+                SELECT user_id, event_id, ts,
+                       (sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)
+                           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING))::BIGINT AS session_id
+                FROM g
+            )
+            SELECT user_id, session_id, count(*) AS n_events
+            FROM s GROUP BY 1, 2
+        """,
+        "value_percentiles_events": """
+            SELECT event_type,
+                   round(quantile_cont(value, 0.5), 6) AS p50,
+                   round(quantile_cont(value, 0.9), 6) AS p90,
+                   round(quantile_cont(value, 0.99), 6) AS p99
+            FROM events GROUP BY 1
+        """,
+        "distinct_counts_lineitem": """
+            SELECT count(DISTINCT l_orderkey) AS d_orders,
+                   count(DISTINCT l_partkey) AS d_parts,
+                   count(DISTINCT (l_returnflag, l_linestatus)) AS d_flag_status
+            FROM lineitem
         """,
         "psi_drift_documents": """
             WITH binned AS (
