@@ -350,6 +350,18 @@ def q_distinct_counts_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivf_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (coarse k-means) approximate top-k (rows-only oracle:
+    centroid training is engine-specific)."""
+    emb = _read(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.ivf_topk(emb, queries, dim=64, k=5, n_centroids=8)
+
+
 def q_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """embedding-cosine near-dup pairs via LSH buckets (rows-only oracle)."""
     emb = _read(spark, sf_dir, "embeddings").withColumn(
@@ -401,6 +413,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score_documents": q_quality_score_documents,
         "events_hourly_agg": q_events_hourly_agg,
         "lsh_topk_embeddings": q_lsh_topk_embeddings,
+        "ivf_topk_embeddings": q_ivf_topk_embeddings,
     }
 
 

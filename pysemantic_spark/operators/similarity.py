@@ -139,6 +139,105 @@ def lsh_bucketed_topk(
     )
 
 
+def train_ivf_centroids(
+    corpus: DataFrame,
+    dim: int,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    sample_size: int = 10_000,
+    n_iters: int = 10,
+    seed: int = 42,
+) -> np.ndarray:
+    """Coarse quantizer for IVF: k-means on a driver-side sample.
+
+    At 10^9+ vectors you train on a bounded sample anyway — the centroids
+    are a tiny (n_centroids × dim) model broadcast into the plan as
+    literals; only the sample ever reaches the driver."""
+    frac = min(1.0, sample_size / max(corpus.count(), 1))
+    sample = (
+        corpus.sample(fraction=frac, seed=seed)
+        .select(vec_col)
+        .toPandas()[vec_col]
+    )
+    x = np.array([np.asarray(v, dtype=np.float64) for v in sample])
+    rng = np.random.default_rng(seed)
+    cents = x[rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)]
+    for _ in range(n_iters):
+        d = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+        assign = d.argmin(1)
+        for c in range(len(cents)):
+            members = x[assign == c]
+            if len(members):
+                cents[c] = members.mean(0)
+    return cents
+
+
+def ivf_assign_expr(vec_col: Column, centroids: np.ndarray) -> Column:
+    """Nearest-centroid id as a Column expr (argmin of squared L2),
+    evaluated JVM-side against centroid literals."""
+    best_id = F.lit(0)
+    best_d = None
+    for cid, cent in enumerate(centroids):
+        lit_vec = F.array(*[F.lit(float(v)) for v in cent])
+        d = F.aggregate(
+            F.zip_with(vec_col, lit_vec, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        if best_d is None:
+            best_d = d
+        else:
+            best_id = F.when(d < best_d, F.lit(cid)).otherwise(best_id)
+            best_d = F.least(best_d, d)
+    return best_id
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    k: int = 10,
+    n_centroids: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF approximate top-k: score only corpus rows in the query's coarse
+    cluster (nprobe=1). Complements the hyperplane-LSH variant; both reduce
+    the candidate set before the exact cosine scoring."""
+    cents = train_ivf_centroids(
+        corpus, dim, n_centroids=n_centroids, vec_col=vec_col, seed=seed
+    )
+    from pysemantic_spark.operators.dedup import _materialize
+
+    cb = _materialize(
+        corpus.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).alias("_cvec"),
+            ivf_assign_expr(F.col(vec_col), cents).alias("_cluster"),
+        )
+    )
+    qb = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).alias("_qvec"),
+        ivf_assign_expr(F.col(vec_col), cents).alias("_cluster"),
+    )
+    scored = cb.join(F.broadcast(qb), on="_cluster").select(
+        "query_id",
+        "vec_id",
+        F.round(cosine(F.col("_cvec"), F.col("_qvec")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     dim: int,

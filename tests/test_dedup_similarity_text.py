@@ -191,3 +191,19 @@ def test_quality_score_ordering(spark):
     got = [r[0] for r in df.select(tx.quality_score("t")).collect()]
     assert got[0] > got[1]
     assert 0.0 <= got[1] <= got[0] <= 1.0
+
+
+def test_ivf_topk_finds_identical_vector(spark, emb_df):
+    df, vecs = emb_df
+    queries = df.filter(F.col("vec_id").isin(0, 5)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = similarity.ivf_topk(df, queries, dim=8, k=3, n_centroids=4).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append((r["vec_id"], r["cos_sim"]))
+    # each query's own vector is in its cluster → rank 1 with cos 1.0
+    assert by_q[0][0] == (0, 1.0)
+    assert by_q[5][0] == (5, 1.0)
+    # vec 7 = 2*vec0 has identical direction → same cluster region, found
+    assert any(v == 7 for v, _ in by_q[0])

@@ -26,7 +26,6 @@ def table(spark, tmp_path_factory):
 
 def test_partition_pruning_in_plan(spark, table):
     io, _, _ = table
-    plan = io.read_buckets(spark, [1, 3]).queryExecution if False else None
     df = io.read_buckets(spark, [1, 3])
     physical = df._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in physical
