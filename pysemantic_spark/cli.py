@@ -37,6 +37,13 @@ def main(argv: list[str] | None = None) -> int:
     ex.add_argument("project"); ex.add_argument("dataset"); ex.add_argument("outpath")
     ex.add_argument("--format", default="csv")
 
+    b = sub.add_parser("bucketize", help="materialize a hash-bucketed table + manifest")
+    b.add_argument("--source", required=True, help="input parquet path")
+    b.add_argument("--table", required=True, help="output table root")
+    b.add_argument("--bucket-key", required=True)
+    b.add_argument("--buckets", type=int, default=64)
+    b.add_argument("--salt-factor", type=int, default=4)
+
     v = sub.add_parser("validate")
     v.add_argument("--spec", required=True, help="YAML data dictionary")
     v.add_argument("--dataset", required=True, help="dataset name in the spec")
@@ -70,9 +77,26 @@ def main(argv: list[str] | None = None) -> int:
             args.dataset, args.outpath, fmt=args.format
         )
         return 0
+    if args.cmd == "bucketize":
+        return _bucketize(args)
     if args.cmd == "validate":
         return _validate(args)
     return 2
+
+
+def _bucketize(args) -> int:
+    from pysemantic_spark.session import get_spark
+    from pysemantic_spark.sources.tableio import ParquetManifestIO
+
+    spark = get_spark(app_name="pysemantic_spark:bucketize")
+    df = spark.read.parquet(args.source)
+    io = ParquetManifestIO(args.table)
+    m = io.write_bucketed(
+        df, args.bucket_key, args.buckets, salt_factor=args.salt_factor
+    )
+    print(json.dumps({"table": args.table, "buckets": m.n_buckets,
+                      "bucket_key": m.bucket_key}))
+    return 0
 
 
 def _validate(args) -> int:
@@ -87,6 +111,16 @@ def _validate(args) -> int:
         return 1
     spec = specs[args.dataset]
     io = ParquetManifestIO(args.table)
+    import os
+
+    if not os.path.exists(io.manifest_path):
+        print(
+            f"no checkpoint manifest at {io.manifest_path} — run "
+            f"`pysemantic-spark bucketize --source … --table {args.table} "
+            f"--bucket-key …` first",
+            file=sys.stderr,
+        )
+        return 1
     dims = {}
     for d in args.dim:
         name, path = d.split("=", 1)

@@ -120,7 +120,7 @@ def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     # one frame per every_ms tick strictly before the end of the video
     n_frames = F.ceil(F.coalesce(F.col("duration_ms"), F.lit(0)) / every_ms).cast("int")
     return (
-        df.filter(F.col("kind") == "video")
+        df.filter((F.col("kind") == "video") & (F.coalesce("duration_ms", F.lit(0)) > 0))
         .withColumn(
             "frame_ts_ms",
             F.explode(

@@ -269,11 +269,31 @@ def execute(
     Returns dict(stats=pandas, check_counts=pandas, partition_report=pandas,
     dupes=pandas, n_rows=int, violations_path=...).
     """
+    import dataclasses
+
     import pandas as pd
 
     plan = spec if isinstance(spec, CheckPlan) else compile_spec(spec)
+    if bucket_by is None:
+        # spark_partition_id() is NOT stable across the two passes (they
+        # scan different column subsets → different splits); production
+        # reports need a content-derived bucket
+        raise ValueError(
+            "execute() requires bucket_by (a column whose hash defines the "
+            "partition buckets); physical partition ids are not comparable "
+            "across passes"
+        )
+
+    # df-level pre-rules applied ONCE here so pass 1 and pass 2 see the
+    # same rows (validate() gets a plan copy with the flags cleared)
+    if plan.drop_duplicates:
+        df = df.dropDuplicates()
+    if plan.drop_na:
+        df = df.na.drop("any")
+    inner_plan = dataclasses.replace(plan, drop_duplicates=False, drop_na=False)
+
     res = validate(
-        spark, df, plan, dims=dims, bucket_by=bucket_by, n_buckets=n_buckets
+        spark, df, inner_plan, dims=dims, bucket_by=bucket_by, n_buckets=n_buckets
     )
 
     # ---- pass 1: violations + observe(stats, check counts) ---------------
@@ -286,9 +306,19 @@ def execute(
     ]
     observed = res.flagged.observe(obs, *(agg_exprs + check_count_exprs))
     key_cols = plan.unique_keys[0] if plan.unique_keys else df.columns[:1]
+    # deterministic per-row discriminator so two different rows sharing the
+    # unique key (the very thing the engine detects) each count as a
+    # violating row; byte-identical full rows still collapse — those are
+    # exactly what drop_duplicates removes when declared
+    row_hash = F.xxhash64(*[F.col(c) for c in df.columns]).alias("_row_hash")
     viol = (
         observed.filter(F.size(VIOLATIONS_COL) > 0)
-        .select(*key_cols, F.explode(VIOLATIONS_COL).alias("check_name"), BUCKET_COL)
+        .select(
+            *key_cols,
+            F.explode(VIOLATIONS_COL).alias("check_name"),
+            BUCKET_COL,
+            row_hash,
+        )
     )
     if violations_sink:
         viol.write.format(sink_format).mode("overwrite").save(violations_sink)
@@ -300,7 +330,7 @@ def execute(
 
     # per-bucket violating-row counts from the (small) violations output
     viol_rows_per_bucket = (
-        viol_small.select(*key_cols, BUCKET_COL)
+        viol_small.select(*key_cols, "_row_hash", BUCKET_COL)
         .distinct()  # a row violating 3 checks is still ONE violating row
         .groupBy(F.col(BUCKET_COL).alias("bucket"))
         .agg(F.count(F.lit(1)).alias("n_violating_rows"))

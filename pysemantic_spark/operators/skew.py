@@ -24,10 +24,17 @@ SALT_COL = "_salt"
 def salt_expr(salt_factor: int, *entropy_cols: str) -> Column:
     """Deterministic salt in [0, salt_factor): hash of within-key entropy
     columns (e.g. turn_idx), NOT random — reruns repartition identically,
-    which the checkpoint/resume manifest relies on."""
+    which the checkpoint/resume manifest relies on. Entropy columns are
+    required: a nondeterministic fallback (monotonically_increasing_id)
+    would corrupt data on stage retries when used as a shuffle key."""
     if salt_factor <= 1:
         return F.lit(0)
-    cols = [F.col(c) for c in entropy_cols] or [F.monotonically_increasing_id()]
+    if not entropy_cols:
+        raise ValueError(
+            "salt_expr needs entropy columns — pass within-key varying "
+            "columns (e.g. turn_idx), or all data columns"
+        )
+    cols = [F.col(c) for c in entropy_cols]
     return F.pmod(F.xxhash64(*cols), F.lit(salt_factor)).cast("int")
 
 
@@ -36,24 +43,27 @@ def salted_repartition(
     key: str,
     num_partitions: int,
     salt_factor: int = 8,
-    entropy_cols: tuple[str, ...] = (),
+    entropy_cols: tuple[str, ...] | None = None,
 ) -> DataFrame:
     """Repartition on (hash(key), salt) so heavy keys spread over
-    ``salt_factor`` partitions. Drop-in for ``df.repartition(n, key)``."""
-    salted = df.withColumn(SALT_COL, salt_expr(salt_factor, *entropy_cols))
+    ``salt_factor`` partitions. Drop-in for ``df.repartition(n, key)``.
+    entropy_cols defaults to ALL columns (deterministic full-row hash)."""
+    cols = tuple(entropy_cols) if entropy_cols else tuple(df.columns)
+    salted = df.withColumn(SALT_COL, salt_expr(salt_factor, *cols))
     out = salted.repartition(num_partitions, F.xxhash64(F.col(key)), F.col(SALT_COL))
     return out.drop(SALT_COL)
 
 
 def salted_group_count(
     df: DataFrame, key_cols: list[str], salt_factor: int = 8,
-    entropy_cols: tuple[str, ...] = (),
+    entropy_cols: tuple[str, ...] | None = None,
 ) -> DataFrame:
     """Two-stage skew-safe ``groupBy(key).count()``:
     partial count per (key, salt) → final sum per key.
     Returns (key_cols..., cnt). Equivalent to the one-stage plan for any
     salt_factor ≥ 1 (Spark's partial agg already map-combines; the explicit
     salt guarantees no single reducer owns a mega-key's final merge)."""
-    salted = df.withColumn(SALT_COL, salt_expr(salt_factor, *entropy_cols))
+    cols = tuple(entropy_cols) if entropy_cols else tuple(df.columns)
+    salted = df.withColumn(SALT_COL, salt_expr(salt_factor, *cols))
     partial = salted.groupBy(*key_cols, SALT_COL).agg(F.count(F.lit(1)).alias("__c"))
     return partial.groupBy(*key_cols).agg(F.sum("__c").alias("cnt"))

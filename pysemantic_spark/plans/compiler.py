@@ -70,10 +70,19 @@ class Check:
         k = self.kind
         if k == "not_null":
             return c.isNull()
-        if k == "min":
-            expr = c.isNotNull() & (c < F.lit(self.params["value"]))
-        elif k == "max":
-            expr = c.isNotNull() & (c > F.lit(self.params["value"]))
+        if k in ("min", "max"):
+            v = self.params["value"]
+            if isinstance(v, (int, float)) and not isinstance(v, bool):
+                # ANSI mode: comparing a raw string column to a numeric
+                # literal would THROW on unparseable values; try_cast makes
+                # them NULL (they surface via bad_cast / null-rate instead)
+                cc = c.try_cast("double")
+                bound = F.lit(float(v))
+            else:
+                cc = c
+                bound = F.lit(v)
+            cmp = (cc < bound) if k == "min" else (cc > bound)
+            expr = c.isNotNull() & cmp
         elif k == "regex":
             # rlike = unanchored search, matching the reference's re.search
             expr = c.isNotNull() & ~c.rlike(self.params["pattern"])
@@ -82,8 +91,10 @@ class Check:
         elif k == "exclude":
             expr = c.isNotNull() & c.isin(*self.params["values"])
         elif k == "bad_cast":
+            # try_cast, not cast: ANSI mode (Spark 4 default) makes a plain
+            # cast THROW on malformed input instead of yielding NULL
             t = spark_type(self.params["dtype"])
-            expr = c.isNotNull() & c.cast(t).isNull()
+            expr = c.isNotNull() & c.try_cast(t).isNull()
         else:
             raise SpecValidationError(f"{self.name}: not a row check ({k})")
         return F.coalesce(expr, F.lit(False))
@@ -119,6 +130,13 @@ class CheckPlan:
 def _compile_column(rules: ColumnRules, declared_dtype: str | None) -> list[Check]:
     col = rules.column
     checks: list[Check] = []
+    if declared_dtype is not None and declared_dtype != "string":
+        # dtype enforcement (C1): fires when the frame still carries raw
+        # (e.g. string) values that don't cast to the declared type; on an
+        # already-cast frame the cast is identity and the check is free
+        checks.append(
+            Check(f"bad_cast:{col}", "bad_cast", col, params={"dtype": declared_dtype})
+        )
     if rules.is_drop_na:
         checks.append(Check(f"not_null:{col}", "not_null", col))
     if rules.min is not None:

@@ -114,7 +114,7 @@ def remove_dataset(project: str, dataset: str,
 
 
 def get_datasets(project: str, config_path: str | None = None) -> list[str]:
-    return sorted((get_schema_specs(project) or {}).keys())
+    return sorted((get_schema_specs(project, config_path=config_path) or {}).keys())
 
 
 class Project:

@@ -72,12 +72,14 @@ def get_md5_checksum(path: str) -> str:
     return h.hexdigest()
 
 
-def _schema_from_dtypes(dtypes: dict[str, str]) -> T.StructType | None:
-    if not dtypes:
-        return None
-    return T.StructType(
-        [T.StructField(c, spark_type(t), True) for c, t in dtypes.items()]
-    )
+def _md5_many(paths: list[str]) -> str:
+    """Checksum of the concatenated byte streams of all files, in order."""
+    h = hashlib.md5()
+    for p in paths:
+        with open(p, "rb") as f:
+            for chunk in iter(lambda: f.read(1 << 20), b""):
+                h.update(chunk)
+    return h.hexdigest()
 
 
 def load_dataset(spark: SparkSession, spec: DatasetSpec) -> DataFrame:
@@ -90,7 +92,8 @@ def load_dataset(spark: SparkSession, spec: DatasetSpec) -> DataFrame:
         if not os.path.exists(p):
             raise ParserArgumentError(f"{spec.name}: path does not exist: {p}")
     if spec.md5:
-        actual = get_md5_checksum(paths[0])
+        # multi-file datasets: checksum over all files in declared order
+        actual = get_md5_checksum(paths[0]) if len(paths) == 1 else _md5_many(paths)
         if actual != spec.md5:
             raise ParserArgumentError(
                 f"{spec.name}: md5 mismatch (expected {spec.md5}, got {actual})"
@@ -122,15 +125,14 @@ def _read_one(spark: SparkSession, path: str, fmt: str, spec: DatasetSpec) -> Da
         reader = (
             spark.read.option("sep", sep)
             .option("header", "true" if (spec.header is not None) else "false")
-            .option("inferSchema", "false" if spec.dtypes else "true")
+            # always infer, then cast declared dtypes post-scan: the spec's
+            # dtypes may cover only a subset of the file's columns, and a
+            # partial schema cannot be applied at the scan
+            .option("inferSchema", "true")
         )
         if spec.na_values:
             # Spark csv supports one nullValue; remaining handled post-scan
             reader = reader.option("nullValue", str(spec.na_values[0]))
-        schema = _schema_from_dtypes(spec.dtypes)
-        if schema is not None and not (spec.use_columns or spec.exclude_columns):
-            # full declared schema only if it covers the file; else cast later
-            return reader.csv(path)
         return reader.csv(path)
     if fmt == "parquet":
         return spark.read.parquet(path)
@@ -191,7 +193,9 @@ def _apply_casts(df: DataFrame, spec: DatasetSpec) -> DataFrame:
             current = df.schema[col].dataType
             target = spark_type(t)
             if current != target:
-                casts[col] = F.col(col).cast(target)
+                # try_cast: under ANSI mode a failed cast must yield NULL
+                # (surfacing via null-rate / bad_cast checks), not throw
+                casts[col] = F.col(col).try_cast(target)
     return df.withColumns(casts) if casts else df
 
 

@@ -89,7 +89,7 @@ class ParquetManifestIO:
 
     def write_bucketed(
         self, df: DataFrame, bucket_key: str, n_buckets: int,
-        salt_factor: int = 4, entropy_cols: tuple[str, ...] = (),
+        salt_factor: int = 4, entropy_cols: tuple[str, ...] | None = None,
     ) -> Manifest:
         """Materialize the table partitioned by hashed bucket_key.
 
@@ -105,10 +105,14 @@ class ParquetManifestIO:
         rows to bucket=NNN/, just from several tasks in parallel)."""
         from pysemantic_spark.operators.skew import salt_expr
 
+        # deterministic entropy (full-row hash by default) — a random or
+        # nondeterministic salt used as a shuffle key corrupts data on
+        # stage retries
+        entropy = tuple(entropy_cols) if entropy_cols else tuple(df.columns)
         out = df.withColumn(
             BUCKET_PART_COL,
             F.pmod(F.xxhash64(F.col(bucket_key)), F.lit(n_buckets)).cast("int"),
-        ).withColumn("_salt", salt_expr(salt_factor, *entropy_cols))
+        ).withColumn("_salt", salt_expr(salt_factor, *entropy))
         (
             out.repartition(n_buckets * salt_factor, F.col(BUCKET_PART_COL), F.col("_salt"))
             .drop("_salt")

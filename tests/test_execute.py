@@ -42,7 +42,9 @@ def test_violations_written_to_sink(run):
     _, oracle, out, spark, sink = run
     written = spark.read.parquet(sink)
     assert written.count() == len(oracle["violations"])
-    assert set(written.columns) == {"conv_id", "turn_idx", "check_name", "_bucket"}
+    assert set(written.columns) == {
+        "conv_id", "turn_idx", "check_name", "_bucket", "_row_hash"
+    }
 
 
 def test_report_totals(run):
@@ -70,3 +72,63 @@ def test_stats_null_counts(run):
     stats = out["stats"].set_index("column")
     assert int(stats.loc["text", "n_nulls"]) == int(pdf["text"].isna().sum())
     assert int(stats.loc["ts", "n_nulls"]) == int(pdf["ts"].isna().sum())
+
+
+def test_execute_counts_dup_key_violating_rows_individually(spark, tmp_path):
+    """Two DIFFERENT rows sharing (conv_id, turn_idx) that both violate must
+    each count as a violating row in the bucket report (regression: the
+    report used to distinct() on the key and undercount)."""
+    import pandas as pd
+
+    from pysemantic_spark.spec import DatasetSpec
+
+    pdf = pd.DataFrame(
+        {
+            "conv_id": ["c1", "c1", "c2"],
+            "turn_idx": [0, 0, 0],
+            "role": ["robot", "robot2", "user"],  # both c1 rows violate
+        }
+    )
+    spec = DatasetSpec.from_dict(
+        "t",
+        {
+            "column_rules": {"role": {"unique_values": ["user", "assistant"]}},
+            "uniqueness": [["conv_id", "turn_idx"]],
+        },
+    )
+    out = execute(
+        spark, spark.createDataFrame(pdf), spec, bucket_by="conv_id", n_buckets=4
+    )
+    assert out["partition_report"]["n_violating_rows"].sum() == 2
+    assert out["partition_report"]["n_rows"].sum() == 3
+
+
+def test_execute_pass2_respects_df_level_rules(spark):
+    """drop_duplicates must apply to the bucket totals and dup counts too
+    (regression: pass 2 used to group the pre-drop input)."""
+    import pandas as pd
+
+    from pysemantic_spark.spec import DatasetSpec
+
+    pdf = pd.DataFrame(
+        {"conv_id": ["c1", "c1", "c2"], "turn_idx": [0, 0, 1], "v": [5, 5, 6]}
+    )  # rows 0 and 1 are full duplicates
+    spec = DatasetSpec.from_dict(
+        "t", {"drop_duplicates": True, "uniqueness": [["conv_id", "turn_idx"]]}
+    )
+    out = execute(
+        spark, spark.createDataFrame(pdf), spec, bucket_by="conv_id", n_buckets=4
+    )
+    assert out["n_rows"] == 2
+    assert out["partition_report"]["n_rows"].sum() == 2
+    assert len(out["dupes"]) == 0  # the dup key disappeared with the df dedup
+
+
+def test_execute_requires_bucket_identity(spark):
+    import pandas as pd
+
+    from pysemantic_spark.spec import DatasetSpec
+
+    df = spark.createDataFrame(pd.DataFrame({"a": [1]}))
+    with pytest.raises(ValueError, match="bucket_by"):
+        execute(spark, df, DatasetSpec.from_dict("t", {}))
