@@ -31,7 +31,8 @@ from pysemantic_spark.errors import (
 )
 from pysemantic_spark.spec import ColumnRules, DatasetSpec, load_spec_file
 from pysemantic_spark.plans.compiler import CheckPlan, compile_spec
-from pysemantic_spark.operators.runner import ValidationResult, validate
+from pysemantic_spark.operators.runner import ValidationResult, execute, validate
+from pysemantic_spark.registry import Project
 
 __version__ = "0.1.0"
 
@@ -47,4 +48,6 @@ __all__ = [
     "compile_spec",
     "ValidationResult",
     "validate",
+    "execute",
+    "Project",
 ]
