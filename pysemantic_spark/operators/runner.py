@@ -85,18 +85,33 @@ def _is_string_type(dt: T.DataType) -> bool:
     return isinstance(dt, T.StringType)
 
 
+def _contains_map(dt: T.DataType) -> bool:
+    if isinstance(dt, T.MapType):
+        return True
+    if isinstance(dt, T.ArrayType):
+        return _contains_map(dt.elementType)
+    if isinstance(dt, T.StructType):
+        return any(_contains_map(f.dataType) for f in dt.fields)
+    return False
+
+
 def _stat_agg_exprs(df: DataFrame) -> list[Column]:
     """Wide per-column stats in one partial+final agg.
 
     Scale choices: min/max only for orderable non-string types (min/max over
     long text bodies is meaningless and drags the whole agg); distinct
     estimation runs HLL over xxhash64(col) for strings so the sketch hashes
-    8 bytes/row instead of the full body."""
+    8 bytes/row instead of the full body. Map-bearing columns get null-count
+    only (maps are neither orderable nor hashable in Spark)."""
     exprs: list[Column] = [F.count(F.lit(1)).alias("n_rows")]
     for f_ in df.schema.fields:
         c = f_.name
         exprs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"))
-        if _is_string_type(f_.dataType):
+        if _contains_map(f_.dataType):
+            exprs.append(F.lit(None).cast("string").alias(f"{c}__min"))
+            exprs.append(F.lit(None).cast("string").alias(f"{c}__max"))
+            exprs.append(F.lit(None).cast("long").alias(f"{c}__approx_distinct"))
+        elif _is_string_type(f_.dataType):
             exprs.append(F.lit(None).cast("string").alias(f"{c}__min"))
             exprs.append(F.lit(None).cast("string").alias(f"{c}__max"))
             exprs.append(
@@ -310,7 +325,9 @@ def execute(
     # unique key (the very thing the engine detects) each count as a
     # violating row; byte-identical full rows still collapse — those are
     # exactly what drop_duplicates removes when declared
-    row_hash = F.xxhash64(*[F.col(c) for c in df.columns]).alias("_row_hash")
+    from pysemantic_spark.operators.skew import hashable_cols
+
+    row_hash = F.xxhash64(*[F.col(c) for c in hashable_cols(df)]).alias("_row_hash")
     viol = (
         observed.filter(F.size(VIOLATIONS_COL) > 0)
         .select(

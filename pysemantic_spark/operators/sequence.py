@@ -30,11 +30,18 @@ def contiguity_violations(
     numbers report every displaced row."""
     keys = [key] if isinstance(key, str) else list(key)
     order = order_by or [idx_col]
+    cols = list(dict.fromkeys([*keys, idx_col, *order]))  # keep order cols!
     w = Window.partitionBy(*keys).orderBy(*[F.col(c) for c in order])
-    ranked = df.select(*keys, idx_col).withColumn(
-        "expected_idx", F.row_number().over(w) - 1
+    ranked = (
+        # NULL idx rows are a nullability violation, not a contiguity one —
+        # and left in they'd consume ranks and falsely flag every later turn
+        df.select(*cols)
+        .filter(F.col(idx_col).isNotNull())
+        .withColumn("expected_idx", F.row_number().over(w) - 1)
     )
-    return ranked.filter(F.col(idx_col) != F.col("expected_idx"))
+    return ranked.filter(F.col(idx_col) != F.col("expected_idx")).select(
+        *keys, idx_col, "expected_idx"
+    )
 
 
 def monotonic_ts_violations(

@@ -21,6 +21,23 @@ from pyspark.sql import functions as F
 SALT_COL = "_salt"
 
 
+def hashable_cols(df: DataFrame) -> tuple[str, ...]:
+    """Columns xxhash64 can take — MapType (unordered, unhashable) is
+    excluded. Used wherever entropy/row hashes default to 'all columns'."""
+    from pyspark.sql import types as T
+
+    def ok(dt) -> bool:
+        if isinstance(dt, T.MapType):
+            return False
+        if isinstance(dt, T.ArrayType):
+            return ok(dt.elementType)
+        if isinstance(dt, T.StructType):
+            return all(ok(f.dataType) for f in dt.fields)
+        return True
+
+    return tuple(f.name for f in df.schema.fields if ok(f.dataType))
+
+
 def salt_expr(salt_factor: int, *entropy_cols: str) -> Column:
     """Deterministic salt in [0, salt_factor): hash of within-key entropy
     columns (e.g. turn_idx), NOT random — reruns repartition identically,
@@ -48,7 +65,7 @@ def salted_repartition(
     """Repartition on (hash(key), salt) so heavy keys spread over
     ``salt_factor`` partitions. Drop-in for ``df.repartition(n, key)``.
     entropy_cols defaults to ALL columns (deterministic full-row hash)."""
-    cols = tuple(entropy_cols) if entropy_cols else tuple(df.columns)
+    cols = tuple(entropy_cols) if entropy_cols else hashable_cols(df)
     salted = df.withColumn(SALT_COL, salt_expr(salt_factor, *cols))
     out = salted.repartition(num_partitions, F.xxhash64(F.col(key)), F.col(SALT_COL))
     return out.drop(SALT_COL)
@@ -63,7 +80,7 @@ def salted_group_count(
     Returns (key_cols..., cnt). Equivalent to the one-stage plan for any
     salt_factor ≥ 1 (Spark's partial agg already map-combines; the explicit
     salt guarantees no single reducer owns a mega-key's final merge)."""
-    cols = tuple(entropy_cols) if entropy_cols else tuple(df.columns)
+    cols = tuple(entropy_cols) if entropy_cols else hashable_cols(df)
     salted = df.withColumn(SALT_COL, salt_expr(salt_factor, *cols))
     partial = salted.groupBy(*key_cols, SALT_COL).agg(F.count(F.lit(1)).alias("__c"))
     return partial.groupBy(*key_cols).agg(F.sum("__c").alias("cnt"))

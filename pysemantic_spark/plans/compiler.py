@@ -75,9 +75,16 @@ class Check:
             if isinstance(v, (int, float)) and not isinstance(v, bool):
                 # ANSI mode: comparing a raw string column to a numeric
                 # literal would THROW on unparseable values; try_cast makes
-                # them NULL (they surface via bad_cast / null-rate instead)
-                cc = c.try_cast("double")
-                bound = F.lit(float(v))
+                # them NULL (they surface via bad_cast / null-rate instead).
+                # Integral declared types compare as LONG — routing longs
+                # through double would lose exactness past 2^53.
+                declared = self.params.get("col_dtype")
+                if declared in ("int", "long") and isinstance(v, int):
+                    cc = c.try_cast("long")
+                    bound = F.lit(int(v))
+                else:
+                    cc = c.try_cast("double")
+                    bound = F.lit(float(v))
             else:
                 cc = c
                 bound = F.lit(v)
@@ -130,19 +137,18 @@ class CheckPlan:
 def _compile_column(rules: ColumnRules, declared_dtype: str | None) -> list[Check]:
     col = rules.column
     checks: list[Check] = []
-    if declared_dtype is not None and declared_dtype != "string":
-        # dtype enforcement (C1): fires when the frame still carries raw
-        # (e.g. string) values that don't cast to the declared type; on an
-        # already-cast frame the cast is identity and the check is free
-        checks.append(
-            Check(f"bad_cast:{col}", "bad_cast", col, params={"dtype": declared_dtype})
-        )
     if rules.is_drop_na:
         checks.append(Check(f"not_null:{col}", "not_null", col))
     if rules.min is not None:
-        checks.append(Check(f"min:{col}", "min", col, params={"value": rules.min}))
+        checks.append(
+            Check(f"min:{col}", "min", col,
+                  params={"value": rules.min, "col_dtype": declared_dtype})
+        )
     if rules.max is not None:
-        checks.append(Check(f"max:{col}", "max", col, params={"value": rules.max}))
+        checks.append(
+            Check(f"max:{col}", "max", col,
+                  params={"value": rules.max, "col_dtype": declared_dtype})
+        )
     if rules.regex is not None:
         checks.append(Check(f"regex:{col}", "regex", col, params={"pattern": rules.regex}))
     if rules.unique_values is not None:
@@ -166,6 +172,13 @@ def compile_spec(spec: DatasetSpec) -> CheckPlan:
     plan = CheckPlan(
         spec=spec, drop_duplicates=spec.drop_duplicates, drop_na=spec.drop_na
     )
+    # dtype enforcement covers EVERY declared non-string dtype, with or
+    # without other rules on the column
+    for col, dtype in spec.dtypes.items():
+        if dtype != "string":
+            plan.row_checks.append(
+                Check(f"bad_cast:{col}", "bad_cast", col, params={"dtype": dtype})
+            )
     for col, rules in spec.column_rules.items():
         declared = spec.dtypes.get(col)
         plan.row_checks.extend(_compile_column(rules, declared))

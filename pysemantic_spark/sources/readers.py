@@ -63,15 +63,6 @@ def infer_format(path: str, declared: str | None) -> str:
             "xlsx": "excel", "xls": "excel"}.get(ext, "parquet")
 
 
-def get_md5_checksum(path: str) -> str:
-    """Reference: pysemantic/utils.py :: get_md5_checksum."""
-    h = hashlib.md5()
-    with open(path, "rb") as f:
-        for chunk in iter(lambda: f.read(1 << 20), b""):
-            h.update(chunk)
-    return h.hexdigest()
-
-
 def _md5_many(paths: list[str]) -> str:
     """Checksum of the concatenated byte streams of all files, in order."""
     h = hashlib.md5()
@@ -80,6 +71,11 @@ def _md5_many(paths: list[str]) -> str:
             for chunk in iter(lambda: f.read(1 << 20), b""):
                 h.update(chunk)
     return h.hexdigest()
+
+
+def get_md5_checksum(path: str) -> str:
+    """Reference: pysemantic/utils.py :: get_md5_checksum."""
+    return _md5_many([path])
 
 
 def load_dataset(spark: SparkSession, spec: DatasetSpec) -> DataFrame:
@@ -93,7 +89,7 @@ def load_dataset(spark: SparkSession, spec: DatasetSpec) -> DataFrame:
             raise ParserArgumentError(f"{spec.name}: path does not exist: {p}")
     if spec.md5:
         # multi-file datasets: checksum over all files in declared order
-        actual = get_md5_checksum(paths[0]) if len(paths) == 1 else _md5_many(paths)
+        actual = _md5_many(paths)
         if actual != spec.md5:
             raise ParserArgumentError(
                 f"{spec.name}: md5 mismatch (expected {spec.md5}, got {actual})"
@@ -125,10 +121,13 @@ def _read_one(spark: SparkSession, path: str, fmt: str, spec: DatasetSpec) -> Da
         reader = (
             spark.read.option("sep", sep)
             .option("header", "true" if (spec.header is not None) else "false")
-            # always infer, then cast declared dtypes post-scan: the spec's
-            # dtypes may cover only a subset of the file's columns, and a
-            # partial schema cannot be applied at the scan
-            .option("inferSchema", "true")
+            # dtypes declared → read everything as STRING in one scan:
+            # (a) declared-string columns keep raw text (leading zeros!),
+            # (b) ALL na_values sentinels null out while columns are still
+            #     strings, (c) declared types apply via try_cast afterwards,
+            # (d) no second inference scan of the file.
+            # No dtypes → fall back to inference (reference behavior).
+            .option("inferSchema", "false" if spec.dtypes else "true")
         )
         if spec.na_values:
             # Spark csv supports one nullValue; remaining handled post-scan

@@ -108,7 +108,8 @@ class ParquetManifestIO:
         # deterministic entropy (full-row hash by default) — a random or
         # nondeterministic salt used as a shuffle key corrupts data on
         # stage retries
-        entropy = tuple(entropy_cols) if entropy_cols else tuple(df.columns)
+        from pysemantic_spark.operators.skew import hashable_cols
+        entropy = tuple(entropy_cols) if entropy_cols else hashable_cols(df)
         out = df.withColumn(
             BUCKET_PART_COL,
             F.pmod(F.xxhash64(F.col(bucket_key)), F.lit(n_buckets)).cast("int"),

@@ -26,37 +26,41 @@ OUTPUT_SCHEMA = (
 STATE_SCHEMA = "max_seen int"
 
 
-_EVICT_IDLE_MS = 0  # set >0 (e.g. 3_600_000) to age out idle conversations
+def _make_check_contiguity(evict_idle_ms: int):
+    """Factory, not a module global: the state function is pickled to the
+    Python workers, so config must travel inside its closure — a driver-side
+    global would silently reset to its default on executors."""
 
+    def _check_contiguity(
+        key: tuple,
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (conv_id,) = key
+        if state.hasTimedOut:
+            state.remove()
+            return
+        max_seen = state.get[0] if state.exists else -1
+        out_rows = []
+        for pdf in pdfs:
+            for idx in sorted(int(i) for i in pdf["turn_idx"].dropna()):
+                expected = max_seen + 1
+                if idx == expected:
+                    max_seen = idx
+                elif idx > expected:
+                    out_rows.append((conv_id, idx, expected, "gap"))
+                    max_seen = idx  # resync so one gap isn't re-reported forever
+                else:
+                    out_rows.append((conv_id, idx, expected, "duplicate"))
+        state.update((max_seen,))
+        if evict_idle_ms > 0:
+            state.setTimeoutDuration(evict_idle_ms)
+        if out_rows:
+            yield pd.DataFrame(
+                out_rows, columns=["conv_id", "turn_idx", "expected_next", "kind"]
+            )
 
-def _check_contiguity(
-    key: tuple,
-    pdfs: Iterable[pd.DataFrame],
-    state: GroupState,
-) -> Iterator[pd.DataFrame]:
-    (conv_id,) = key
-    if state.hasTimedOut:
-        state.remove()
-        return
-    max_seen = state.get[0] if state.exists else -1
-    out_rows = []
-    for pdf in pdfs:
-        for idx in sorted(int(i) for i in pdf["turn_idx"].dropna()):
-            expected = max_seen + 1
-            if idx == expected:
-                max_seen = idx
-            elif idx > expected:
-                out_rows.append((conv_id, idx, expected, "gap"))
-                max_seen = idx  # resync so one gap isn't re-reported forever
-            else:
-                out_rows.append((conv_id, idx, expected, "duplicate"))
-    state.update((max_seen,))
-    if _EVICT_IDLE_MS > 0:
-        state.setTimeoutDuration(_EVICT_IDLE_MS)
-    if out_rows:
-        yield pd.DataFrame(
-            out_rows, columns=["conv_id", "turn_idx", "expected_next", "kind"]
-        )
+    return _check_contiguity
 
 
 def turn_contiguity_stream(
@@ -71,8 +75,6 @@ def turn_contiguity_stream(
     with a processing-time timeout the engine triggers empty state-cleanup
     batches forever, so ``processAllAvailable()`` (tests, drain-and-stop
     jobs) never returns."""
-    global _EVICT_IDLE_MS
-    _EVICT_IDLE_MS = evict_idle_ms
     timeout = (
         GroupStateTimeout.ProcessingTimeTimeout
         if evict_idle_ms > 0
@@ -82,7 +84,7 @@ def turn_contiguity_stream(
         stream_df.select("conv_id", "turn_idx")
         .groupBy("conv_id")
         .applyInPandasWithState(
-            _check_contiguity,
+            _make_check_contiguity(evict_idle_ms),
             outputStructType=OUTPUT_SCHEMA,
             stateStructType=STATE_SCHEMA,
             outputMode="append",
