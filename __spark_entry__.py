@@ -50,9 +50,17 @@ _LINEITEM_SPEC = {
 
 
 def q_stats_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Wide per-column stats agg (C-rules stat side; SURVEY §2.5 aggs)."""
-    li = _read(spark, sf_dir, "lineitem")
-    res = validate(spark, li, DatasetSpec.from_dict("lineitem", _LINEITEM_SPEC))
+    """Wide per-column stats agg (C-rules stat side; SURVEY §2.5 aggs).
+
+    Projects to the stat columns BEFORE validating: the agg-side unpivot
+    blocks Catalyst from pruning aggregate exprs, so pruning is done at the
+    DataFrame level (PLANS.md §7 residual, resolved here)."""
+    li = _read(spark, sf_dir, "lineitem").select(
+        "l_quantity", "l_extendedprice", "l_discount"
+    )
+    res = validate(spark, li, DatasetSpec.from_dict("lineitem", {
+        "column_rules": {"l_quantity": {"min": 5, "max": 45}},
+    }))
     return (
         res.stats.filter(
             F.col("column").isin("l_quantity", "l_extendedprice", "l_discount")
