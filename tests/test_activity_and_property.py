@@ -62,6 +62,21 @@ _rule_strategy = st.fixed_dictionaries(
     },
 )
 
+_STR_VALUES = ["alpha", "beta", "gamma", "Delta-9", "x y", ""]
+_str_rule_strategy = st.fixed_dictionaries(
+    {},
+    optional={
+        "is_drop_na": st.booleans(),
+        "regex": st.sampled_from(["^a", "a", "[a-z]+$", "^$", "delta", "-"]),
+        "unique_values": st.lists(
+            st.sampled_from(_STR_VALUES), min_size=1, max_size=4, unique=True
+        ),
+        "exclude": st.lists(
+            st.sampled_from(_STR_VALUES), min_size=1, max_size=2, unique=True
+        ),
+    },
+)
+
 
 @settings(
     max_examples=8,
@@ -83,4 +98,26 @@ def test_fused_runner_equals_pandas_oracle(spark, rules, values):
     got = sorted(r["k"] for r in res.clean.select("k").collect())
     oracle = pandas_oracle(pdf, spec, {})
     exp = sorted(oracle["clean"]["k"].tolist())
+    assert got == exp
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rules=_str_rule_strategy,
+    values=st.lists(
+        st.one_of(st.none(), st.sampled_from(_STR_VALUES)), min_size=4, max_size=30
+    ),
+)
+def test_string_rules_equal_pandas_oracle(spark, rules, values):
+    """regex / levels / exclude / null over arbitrary string data match the
+    pandas re-statement (rlike ≡ re.search semantics)."""
+    pdf = pd.DataFrame({"k": range(len(values)), "s": pd.array(values, dtype="object")})
+    spec = DatasetSpec.from_dict("p", {"column_rules": {"s": rules}})
+    res = validate(spark, spark.createDataFrame(pdf), spec)
+    got = sorted(r["k"] for r in res.clean.select("k").collect())
+    exp = sorted(pandas_oracle(pdf, spec, {})["clean"]["k"].tolist())
     assert got == exp
