@@ -132,3 +132,26 @@ def test_execute_requires_bucket_identity(spark):
     df = spark.createDataFrame(pd.DataFrame({"a": [1]}))
     with pytest.raises(ValueError, match="bucket_by"):
         execute(spark, df, DatasetSpec.from_dict("t", {}))
+
+
+def test_execute_report_agrees_with_lazy_validate(spark, run):
+    """The 2-pass production report must equal the single-plan lazy
+    partition_report (same buckets, same totals, same violating counts)."""
+    pdf, _, out, spark_, _ = run
+    from pysemantic_spark.fixtures import dim_tools_pdf, transcripts_spec
+    from pysemantic_spark.operators.runner import validate
+
+    df = spark_.createDataFrame(pdf)
+    dims = {"dim_tools": spark_.createDataFrame(dim_tools_pdf())}
+    lazy = validate(
+        spark_, df, transcripts_spec(), dims=dims, bucket_by="conv_id", n_buckets=16
+    )
+    lazy_rep = (
+        lazy.partition_report.toPandas().sort_values("bucket").reset_index(drop=True)
+    )
+    exec_rep = out["partition_report"].sort_values("bucket").reset_index(drop=True)
+    assert lazy_rep["bucket"].tolist() == exec_rep["bucket"].tolist()
+    assert lazy_rep["n_rows"].tolist() == exec_rep["n_rows"].tolist()
+    assert (
+        lazy_rep["n_violating_rows"].tolist() == exec_rep["n_violating_rows"].tolist()
+    )
