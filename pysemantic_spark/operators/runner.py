@@ -21,10 +21,12 @@ the same pass as broadcast hash joins (no shuffle of the fact side).
 
 `execute()` is the production orchestration: ONE full-width action (writing
 violations, with stats/check-counts attached via `observe` so they cost
-nothing extra) plus ONE two-column aggregation pass that yields both the
-dup-key counts and the per-bucket row counts. At 100 TB that is the minimum
-I/O shape: full data crosses the scanner once; shuffles touch only
-(conv_id, turn_idx) pairs and bucket ids.
+nothing extra) plus skinny pruned-scan aggregations for the per-bucket row
+counts and the duplicate-key groups (one per declared key, grouped by the
+key alone; written to a sink, never collected). At 100 TB that is the
+minimum I/O shape: full data crosses the scanner once; shuffles touch only
+(conv_id, turn_idx) pairs and bucket ids, and nothing unbounded lands on
+the driver.
 
 Semantics vs the reference (pysemantic/validator.py ::
 DataFrameValidator.clean → SeriesValidator.clean loop): the reference drops
@@ -213,7 +215,22 @@ def validate(
         dup_keys = d.select(*key)
         dup_part = clean.join(dup_keys, on=key, how="left_semi")
         uniq_part = clean.join(dup_keys, on=key, how="left_anti")
-        order = [F.col(c) for c in (plan.spec.order_by or [])] or [F.lit(1)]
+        if plan.spec.order_by:
+            order = [F.col(c) for c in plan.spec.order_by]
+        else:
+            # Deterministic auto-tiebreak: without a declared order_by,
+            # row_number() over lit(1) would keep whichever duplicate the
+            # partition layout happened to deliver first — a wrong-answer
+            # risk on stage retries / repartitions. Order by every hashable
+            # non-key column instead: a content-derived total order, so the
+            # survivor is a pure function of the data. Rows identical on all
+            # hashable columns remain interchangeable (any pick yields the
+            # same output set). Property-tested under random repartitions.
+            from pysemantic_spark.operators.skew import hashable_cols
+
+            skip = set(key) | {VIOLATIONS_COL, BUCKET_COL}
+            tiebreak = [c for c in hashable_cols(clean) if c not in skip]
+            order = [F.col(c) for c in tiebreak] or [F.lit(1)]
         w = Window.partitionBy(*key).orderBy(*order)
         dup_kept = (
             dup_part.withColumn("__rn", F.row_number().over(w))
@@ -270,6 +287,7 @@ def execute(
     bucket_by: str | None = None,
     n_buckets: int = 32,
     violations_sink: str | None = None,
+    dupes_sink: str | None = None,
     sink_format: str = "parquet",
 ) -> dict[str, Any]:
     """Production run: full suite in TWO data passes.
@@ -277,12 +295,18 @@ def execute(
     Pass 1 (full width): write/materialize the violations row stream, with
       per-column stats and per-check counts riding the same action via
       ``observe`` — zero extra scans for stats.
-    Pass 2 (two columns): one agg over (key, bucket) producing BOTH the
-      dup-key counts and per-bucket totals; combined with the per-bucket
-      violation counts (from pass 1's tiny output) into the pass/fail report.
+    Pass 2 (skinny): pruned-scan aggs producing the per-bucket totals and,
+      for EVERY declared unique key, the duplicate-key groups — grouped by
+      the key alone (never by (key, bucket): a bucket column not determined
+      by the key would split dup groups and undercount). Dup groups are
+      written to ``dupes_sink`` (defaults to ``<violations_sink>_dupes``),
+      never collected: only their count reaches the driver.
 
     Returns dict(stats=pandas, check_counts=pandas, partition_report=pandas,
-    dupes=pandas, n_rows=int, violations_path=...).
+    dupes=lazy DataFrame handle or None, n_dup_keys=int, dupes_path=...,
+    n_rows=int, violations_path=...). Tiny frames come back as pandas;
+    anything that can grow with the data (violations, dupes) stays a path +
+    lazy handle.
     """
     import dataclasses
 
@@ -354,34 +378,44 @@ def execute(
         .toPandas()
     )
 
-    # ---- pass 2: skinny agg → dupes + bucket totals -----------------------
-    dupes_pdf = pd.DataFrame()
-    if plan.unique_keys:
-        key = plan.unique_keys[0]
-        bexpr = res._bucket_expr
-        key_counts = (
-            df.select(*key, bexpr.alias("bucket"))
-            .groupBy(*key, "bucket")
+    # ---- pass 2: skinny aggs → bucket totals + per-key dupes ---------------
+    # Bucket totals: one pruned scan of the bucket_by column only. Kept
+    # separate from the dup-key aggs on purpose: grouping dupes by
+    # (key, bucket) would split a duplicated key across buckets whenever
+    # bucket_by is not functionally dependent on the key (each (key,bucket)
+    # group counts 1 → duplicates silently missed). Dupes group by the key
+    # ALONE, exactly like validate().
+    bucket_totals = (
+        df.select(res._bucket_expr.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .toPandas()
+    )
+    # Duplicate-key groups for ALL declared keys (composite `uniqueness`
+    # entries and per-column is_drop_duplicates alike), unioned. The result
+    # is written to a sink, NEVER toPandas()'d: on a 10^12-row table with
+    # pervasive duplication the dup-group frame is unbounded — only the
+    # group COUNT belongs on the driver.
+    dupes = None
+    for key in plan.unique_keys:
+        d = (
+            df.groupBy(*key)
             .agg(F.count(F.lit(1)).alias("dup_count"))
-        ).persist()
-        dupes_pdf = (
-            key_counts.filter(F.col("dup_count") > 1)
-            .select(*key, "dup_count")
-            .toPandas()
+            .filter(F.col("dup_count") > 1)
         )
-        bucket_totals = (
-            key_counts.groupBy("bucket")
-            .agg(F.sum("dup_count").alias("n_rows"))
-            .toPandas()
-        )
-        key_counts.unpersist(blocking=True)
-    else:
-        bucket_totals = (
-            df.select(res._bucket_expr.alias("bucket"))
-            .groupBy("bucket")
-            .agg(F.count(F.lit(1)).alias("n_rows"))
-            .toPandas()
-        )
+        dupes = d if dupes is None else dupes.unionByName(d, allowMissingColumns=True)
+    dupes_path = None
+    n_dup_keys = 0
+    if dupes is not None:
+        if dupes_sink is None and violations_sink is not None:
+            dupes_sink = violations_sink.rstrip("/") + "_dupes"
+        if dupes_sink:
+            dupes.write.format(sink_format).mode("overwrite").save(dupes_sink)
+            dupes = spark.read.format(sink_format).load(dupes_sink)
+            dupes_path = dupes_sink
+        else:
+            dupes = dupes.persist()
+        n_dup_keys = dupes.count()
 
     report = bucket_totals.merge(viol_rows_per_bucket, on="bucket", how="left")
     report["n_violating_rows"] = (
@@ -419,7 +453,9 @@ def execute(
         "stats": pd.DataFrame(stats_rows),
         "check_counts": pd.DataFrame(counts_rows),
         "partition_report": report,
-        "dupes": dupes_pdf,
+        "dupes": dupes,
+        "n_dup_keys": n_dup_keys,
+        "dupes_path": dupes_path,
         "violations_path": violations_sink,
     }
 

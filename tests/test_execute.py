@@ -59,12 +59,21 @@ def test_report_totals(run):
 
 
 def test_dupes_match_oracle(run):
-    _, oracle, out, _, _ = run
-    got = out["dupes"].sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    """Dupes come back as a lazy handle + sink path (never driver-collected
+    by execute() itself); the sink contents must equal the pandas oracle."""
+    _, oracle, out, spark, sink = run
+    assert out["dupes_path"] == sink.rstrip("/") + "_dupes"
+    got = (
+        spark.read.parquet(out["dupes_path"]).toPandas()
+        .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    )
     exp = oracle["dupes"].sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    assert out["n_dup_keys"] == len(exp)
     assert len(got) == len(exp)
     assert got["conv_id"].tolist() == exp["conv_id"].tolist()
     assert [int(x) for x in got["dup_count"]] == [int(x) for x in exp["dup_count"]]
+    # the returned handle reads the same sink
+    assert out["dupes"].count() == len(exp)
 
 
 def test_stats_null_counts(run):
@@ -121,7 +130,83 @@ def test_execute_pass2_respects_df_level_rules(spark):
     )
     assert out["n_rows"] == 2
     assert out["partition_report"]["n_rows"].sum() == 2
-    assert len(out["dupes"]) == 0  # the dup key disappeared with the df dedup
+    assert out["n_dup_keys"] == 0  # the dup key disappeared with the df dedup
+
+
+def test_dupes_grouped_by_key_alone_when_bucket_differs(spark):
+    """Copies of one duplicated key landing in DIFFERENT buckets must still
+    count as one dup group (regression: grouping by (key, bucket) split
+    them into count-1 groups and missed the duplicate entirely)."""
+    import pandas as pd
+
+    from pysemantic_spark.spec import DatasetSpec
+
+    pdf = pd.DataFrame({"k": [1, 1, 2], "conv_id": ["aaa", "zzz", "mmm"]})
+    spec = DatasetSpec.from_dict("t", {"uniqueness": [["k"]]})
+    out = execute(
+        spark, spark.createDataFrame(pdf), spec, bucket_by="conv_id", n_buckets=64
+    )
+    d = out["dupes"].toPandas()
+    assert out["n_dup_keys"] == 1
+    assert d["k"].tolist() == [1]
+    assert int(d["dup_count"].iloc[0]) == 2
+
+
+def test_execute_checks_all_unique_keys(spark):
+    """Every declared uniqueness entry (and per-column is_drop_duplicates)
+    must be checked in the production path, not just the first key."""
+    import pandas as pd
+
+    from pysemantic_spark.spec import DatasetSpec
+
+    pdf = pd.DataFrame(
+        {"a": [1, 2, 3, 4], "b": ["x", "x", "y", "z"], "conv_id": list("pqrs")}
+    )
+    spec = DatasetSpec.from_dict("t", {"uniqueness": [["a"], ["b"]]})
+    out = execute(
+        spark, spark.createDataFrame(pdf), spec, bucket_by="conv_id", n_buckets=4
+    )
+    d = out["dupes"].toPandas()
+    # key "a" has no dups; key "b" has one dup group (x ×2)
+    assert out["n_dup_keys"] == 1
+    assert d["b"].dropna().tolist() == ["x"]
+    assert int(d["dup_count"].iloc[0]) == 2
+
+
+def test_keep_first_deterministic_without_order_by(spark):
+    """Without order_by, the auto-tiebreak (all hashable non-key columns)
+    must make the surviving duplicate independent of partition layout:
+    same input under many random repartitions → byte-identical clean rows."""
+    import pandas as pd
+
+    from pysemantic_spark.operators.runner import validate
+    from pysemantic_spark.spec import DatasetSpec
+
+    rng = pd.DataFrame(
+        {
+            "k": [i % 7 for i in range(50)],
+            "payload": [f"p{(i * 37) % 50:02d}" for i in range(50)],
+            "v": [(i * 13) % 11 for i in range(50)],
+        }
+    )
+    spec = DatasetSpec.from_dict("t", {"uniqueness": [["k"]]})  # no order_by
+    outs = []
+    for n_parts in (1, 3, 8, 17, 32):
+        df = spark.createDataFrame(rng.sample(frac=1, random_state=n_parts)).repartition(n_parts)
+        clean = validate(spark, df, spec).clean.toPandas()
+        outs.append(
+            clean.sort_values(["k", "payload", "v"]).reset_index(drop=True)
+        )
+    for other in outs[1:]:
+        pd.testing.assert_frame_equal(outs[0], other)
+    # survivor is the lexicographic minimum over the tiebreak columns
+    exp = (
+        rng.sort_values(["payload", "v"]).groupby("k", as_index=False).first()
+        [["k", "payload", "v"]].sort_values(["k", "payload", "v"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        outs[0][["k", "payload", "v"]].astype(exp.dtypes.to_dict()), exp
+    )
 
 
 def test_execute_requires_bucket_identity(spark):
