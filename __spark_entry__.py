@@ -262,6 +262,46 @@ def q_psi_drift_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return psi_between(base, cur, "n_chars", lo=0.0, hi=600.0, n_bins=20)
 
 
+def q_ks_drift_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """distributed KS statistic of n_chars, even- vs odd-doc_id halves —
+    the 1-row declarative twin of psi_between."""
+    from pysemantic_spark.operators.drift import ks_between
+
+    docs = _read(spark, sf_dir, "documents")
+    base = docs.filter(F.col("doc_id") % 2 == 0)
+    cur = docs.filter(F.col("doc_id") % 2 == 1)
+    return ks_between(base, cur, "n_chars", lo=0.0, hi=600.0, n_bins=20)
+
+
+def q_spec_drift_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """YAML `drift:` block end-to-end through compile_spec + execute():
+    baseline sketch from the even-doc_id half, current = odd half; PSI + KS
+    on n_chars (histogram) and PSI on lang (categorical)."""
+    import os
+    import tempfile
+
+    from pysemantic_spark.operators.drift import save_drift_baseline
+    from pysemantic_spark.operators.runner import execute
+
+    docs = _read(spark, sf_dir, "documents")
+    base = docs.filter(F.col("doc_id") % 2 == 0)
+    cur = docs.filter(F.col("doc_id") % 2 == 1)
+    bl = os.path.join(tempfile.mkdtemp(prefix="psdrift_"), "baseline.json")
+    save_drift_baseline(base, ["n_chars", "lang"], bl, n_bins=20)
+    spec = DatasetSpec.from_dict(
+        "documents",
+        {"drift": {"columns": ["n_chars", "lang"], "baseline": bl,
+                   "n_bins": 20, "ks_threshold": 0.1, "psi_threshold": 0.2}},
+    )
+    out = execute(spark, cur, spec, bucket_by="doc_id", n_buckets=16)
+    return (
+        spark.createDataFrame(out["drift"])
+        .select("column", "metric", "value",
+                F.col("threshold").cast("double").alias("threshold"), "drifted")
+        .orderBy("column", "metric")
+    )
+
+
 def q_quality_score_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """composite text-quality scoring (pretraining-filter analog)."""
     from pysemantic_spark.functions.text import quality_score
@@ -418,6 +458,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_percentiles_events": q_value_percentiles_events,
         "distinct_counts_lineitem": q_distinct_counts_lineitem,
         "psi_drift_documents": q_psi_drift_documents,
+        "ks_drift_documents": q_ks_drift_documents,
+        "spec_drift_documents": q_spec_drift_documents,
         "quality_score_documents": q_quality_score_documents,
         "events_hourly_agg": q_events_hourly_agg,
         "lsh_topk_embeddings": q_lsh_topk_embeddings,
@@ -671,6 +713,96 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(((cb + 1)/(tb + 22) - (cc + 1)/(tc + 22))
                          * ln(((cb + 1)/(tb + 22)) / ((cc + 1)/(tc + 22)))), 6) AS psi
             FROM j CROSS JOIN t
+        """,
+        "ks_drift_documents": """
+            WITH binned AS (
+                SELECT CASE WHEN n_chars IS NULL THEN NULL
+                            WHEN n_chars < 0 THEN 0
+                            WHEN n_chars >= 600 THEN 21
+                            ELSE (floor((n_chars - 0.0) / 30.0))::INT + 1 END AS bin,
+                       doc_id % 2 AS half
+                FROM documents
+            ),
+            grid AS (SELECT unnest(range(22)) AS bin),
+            b AS (SELECT bin, count(*) cb FROM binned WHERE half = 0 AND bin IS NOT NULL GROUP BY 1),
+            c AS (SELECT bin, count(*) cc FROM binned WHERE half = 1 AND bin IS NOT NULL GROUP BY 1),
+            j AS (
+                SELECT bin, coalesce(cb, 0) AS cb, coalesce(cc, 0) AS cc
+                FROM grid LEFT JOIN b USING (bin) LEFT JOIN c USING (bin)
+            ),
+            t AS (SELECT sum(cb)::DOUBLE tb, sum(cc)::DOUBLE tc FROM j),
+            cum AS (
+                SELECT sum(cb) OVER (ORDER BY bin)::DOUBLE ccb,
+                       sum(cc) OVER (ORDER BY bin)::DOUBLE ccc
+                FROM j
+            )
+            SELECT 'n_chars' AS "column",
+                   round(max(abs(ccb / tb - ccc / tc)), 6) AS ks
+            FROM cum CROSS JOIN t
+        """,
+        "spec_drift_documents": """
+            WITH lohi AS (
+                SELECT min(n_chars)::DOUBLE lo, max(n_chars)::DOUBLE hi
+                FROM documents WHERE doc_id % 2 = 0 AND n_chars IS NOT NULL
+            ),
+            binned AS (
+                SELECT CASE WHEN n_chars IS NULL THEN NULL
+                            WHEN n_chars < lo THEN 0
+                            WHEN n_chars >= hi THEN 21
+                            ELSE (floor((n_chars - lo) / ((hi - lo) / 20.0)))::INT + 1 END AS bin,
+                       doc_id % 2 AS half
+                FROM documents CROSS JOIN lohi
+            ),
+            grid AS (SELECT unnest(range(22)) AS bin),
+            b AS (SELECT bin, count(*) cb FROM binned WHERE half = 0 AND bin IS NOT NULL GROUP BY 1),
+            c AS (SELECT bin, count(*) cc FROM binned WHERE half = 1 AND bin IS NOT NULL GROUP BY 1),
+            j AS (
+                SELECT bin, coalesce(cb, 0) AS cb, coalesce(cc, 0) AS cc
+                FROM grid LEFT JOIN b USING (bin) LEFT JOIN c USING (bin)
+            ),
+            t AS (SELECT sum(cb)::DOUBLE tb, sum(cc)::DOUBLE tc FROM j),
+            hist_psi AS (
+                SELECT 'n_chars' AS "column", 'psi' AS metric,
+                       round(sum(((cb + 1)/(tb + 22) - (cc + 1)/(tc + 22))
+                             * ln(((cb + 1)/(tb + 22)) / ((cc + 1)/(tc + 22)))), 6) AS value
+                FROM j CROSS JOIN t
+            ),
+            cum AS (
+                SELECT sum(cb) OVER (ORDER BY bin)::DOUBLE ccb,
+                       sum(cc) OVER (ORDER BY bin)::DOUBLE ccc
+                FROM j
+            ),
+            hist_ks AS (
+                SELECT 'n_chars' AS "column", 'ks' AS metric,
+                       round(max(abs(ccb / tb - ccc / tc)), 6) AS value
+                FROM cum CROSS JOIN t
+            ),
+            bl AS (SELECT lang, count(*) cb FROM documents
+                   WHERE doc_id % 2 = 0 AND lang IS NOT NULL GROUP BY 1),
+            cl AS (SELECT lang, count(*) cc FROM documents
+                   WHERE doc_id % 2 = 1 AND lang IS NOT NULL GROUP BY 1),
+            jl AS (
+                SELECT coalesce(bl.lang, cl.lang) AS lang,
+                       coalesce(cb, 0) AS cb, coalesce(cc, 0) AS cc
+                FROM bl FULL OUTER JOIN cl ON bl.lang = cl.lang
+            ),
+            kt AS (SELECT count(*)::DOUBLE k, sum(cb)::DOUBLE tb, sum(cc)::DOUBLE tc FROM jl),
+            cat_psi AS (
+                SELECT 'lang' AS "column", 'psi' AS metric,
+                       round(sum(((cb + 1)/(tb + k) - (cc + 1)/(tc + k))
+                             * ln(((cb + 1)/(tb + k)) / ((cc + 1)/(tc + k)))), 6) AS value
+                FROM jl CROSS JOIN kt
+            ),
+            allrows AS (
+                SELECT * FROM hist_psi
+                UNION ALL SELECT * FROM hist_ks
+                UNION ALL SELECT * FROM cat_psi
+            )
+            SELECT "column", metric, value,
+                   (CASE WHEN metric = 'ks' THEN 0.1 ELSE 0.2 END)::DOUBLE AS threshold,
+                   value > (CASE WHEN metric = 'ks' THEN 0.1 ELSE 0.2 END) AS drifted
+            FROM allrows
+            ORDER BY "column", metric
         """,
         "quality_score_documents": r"""
             WITH f AS (

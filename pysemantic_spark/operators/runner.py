@@ -64,7 +64,11 @@ class ValidationResult:
     flagged: DataFrame          # input + _violations array + _bucket
     violations: DataFrame       # key cols + check_name  (one row per failure)
     clean: DataFrame            # surviving rows, original schema
-    stats: DataFrame            # per-column: count/nulls/min/max/approx_distinct
+    # per-column count/nulls/min/max/approx_distinct. NOTE: collecting
+    # `stats` separately re-runs the fused pass (lazy plan, PLANS.md §7);
+    # the production path is execute(), where stats ride the violations
+    # write via observe() for free.
+    stats: DataFrame
     check_counts: DataFrame     # check_name, n_violations
     partition_report: DataFrame # bucket, n_rows, n_violating_rows, passed
     dupes: DataFrame | None     # composite-key duplicate groups (or None)
@@ -417,6 +421,16 @@ def execute(
             dupes = dupes.persist()
         n_dup_keys = dupes.count()
 
+    # ---- drift: spec-declared distribution checks vs the baseline sketch --
+    # One extra fused scan over ONLY the drift columns (all columns' bins
+    # ride a single posexplode+agg); metrics computed driver-side from the
+    # two tiny count vectors.
+    drift_pdf = None
+    if plan.drift is not None:
+        from pysemantic_spark.operators.drift import spec_drift_report
+
+        drift_pdf = spec_drift_report(df, plan.drift)
+
     report = bucket_totals.merge(viol_rows_per_bucket, on="bucket", how="left")
     report["n_violating_rows"] = (
         report["n_violating_rows"].fillna(0).astype("int64")
@@ -456,6 +470,7 @@ def execute(
         "dupes": dupes,
         "n_dup_keys": n_dup_keys,
         "dupes_path": dupes_path,
+        "drift": drift_pdf,
         "violations_path": violations_sink,
     }
 

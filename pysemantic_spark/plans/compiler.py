@@ -125,6 +125,10 @@ class CheckPlan:
     referential: list[ReferentialCheck] = field(default_factory=list)
     drop_duplicates: bool = False
     drop_na: bool = False
+    # DriftSpec carried into the executable plan (None = no drift: block).
+    # Consumed by execute(): current-side sketches in one fused scan,
+    # compared against the baseline sketch file (operators/drift.py).
+    drift: Any = None
 
     @property
     def check_names(self) -> list[str]:
@@ -195,4 +199,12 @@ def compile_spec(spec: DatasetSpec) -> CheckPlan:
             )
     for key in spec.uniqueness:
         plan.unique_keys.append(list(key))
+    if spec.drift is not None:
+        if not spec.drift.columns:
+            raise SpecValidationError("drift: block needs a non-empty `columns` list")
+        if spec.drift.n_bins <= 0:
+            raise SpecValidationError(
+                f"drift: n_bins must be positive, got {spec.drift.n_bins}"
+            )
+        plan.drift = spec.drift
     return plan

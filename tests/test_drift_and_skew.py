@@ -83,6 +83,96 @@ def test_ecdf_sketch_arrow(spark, frames):
     assert abs(med - exp) < 1.0
 
 
+def test_ks_between_matches_numpy(spark, frames):
+    dfb, _, dfx, base = frames
+    got = drift.ks_between(dfb, dfx, "v", lo=0.0, hi=200.0, n_bins=20).collect()[0]
+    assert got["column"] == "v"
+    # numpy oracle: same binning, cumulative diff
+    xb = base["v"].to_numpy()
+    xx = dfx.toPandas()["v"].to_numpy()
+
+    def counts(x):
+        w = 200.0 / 20
+        b = np.clip(np.floor((x - 0.0) / w).astype(int) + 1, None, 21)
+        b = np.where(x < 0.0, 0, b)
+        return np.bincount(b, minlength=22)
+
+    cb, cc = counts(xb), counts(xx)
+    exp = np.max(np.abs(np.cumsum(cb) / cb.sum() - np.cumsum(cc) / cc.sum()))
+    assert abs(got["ks"] - exp) < 1e-5
+    # sanity: shifted distribution drifts hard
+    assert got["ks"] > 0.3
+
+
+def test_multi_sketch_counts_matches_pandas(spark, frames):
+    dfb, _, _, base = frames
+    hist, cat = drift.multi_sketch_counts(
+        dfb, {"v": (0.0, 200.0, 10)}, ["g"]
+    )
+    w = 200.0 / 10
+    b = np.clip(np.floor((base["v"].to_numpy() - 0.0) / w).astype(int) + 1, None, 11)
+    b = np.where(base["v"].to_numpy() < 0.0, 0, b)
+    assert hist["v"] == list(np.bincount(b, minlength=12))
+    assert cat["g"] == {str(k): int(v) for k, v in base["g"].value_counts().items()}
+
+
+def test_spec_drift_wired_into_execute(spark, frames, tmp_path):
+    """A YAML `drift:` block must actually run in execute(): baseline file
+    → fused current-side sketch → drifted/not-drifted rows in the output."""
+    from pysemantic_spark.operators.runner import execute
+    from pysemantic_spark.spec import DatasetSpec
+
+    dfb, dfs, dfx, _ = frames
+    bl = str(tmp_path / "baseline.json")
+    drift.save_drift_baseline(dfb, ["v", "g"], bl, n_bins=32)
+    spec_d = {
+        "drift": {"columns": ["v", "g"], "baseline": bl, "n_bins": 32,
+                  "ks_threshold": 0.1, "psi_threshold": 0.2},
+    }
+    spec = DatasetSpec.from_dict("t", spec_d)
+
+    out_same = execute(spark, dfs, spec, bucket_by="g", n_buckets=4)
+    d = out_same["drift"].set_index(["column", "metric"])
+    assert set(out_same["drift"]["column"]) == {"v", "g"}
+    assert not d.loc[("v", "ks"), "drifted"]
+    assert not d.loc[("v", "psi"), "drifted"]
+    assert not d.loc[("g", "psi"), "drifted"]
+
+    out_shift = execute(spark, dfx, spec, bucket_by="g", n_buckets=4)
+    ds = out_shift["drift"].set_index(["column", "metric"])
+    assert ds.loc[("v", "ks"), "drifted"]
+    assert ds.loc[("v", "psi"), "drifted"]
+    assert not ds.loc[("g", "psi"), "drifted"]  # g untouched by the shift
+
+
+def test_spec_drift_without_baseline_raises(spark, frames):
+    from pysemantic_spark.errors import SpecValidationError
+    from pysemantic_spark.operators.runner import execute
+    from pysemantic_spark.spec import DatasetSpec
+
+    dfb, _, _, _ = frames
+    spec = DatasetSpec.from_dict("t", {"drift": {"columns": ["v"]}})
+    with pytest.raises(SpecValidationError, match="baseline"):
+        execute(spark, dfb, spec, bucket_by="g", n_buckets=4)
+
+
+def test_spec_drift_compile_validation():
+    from pysemantic_spark.errors import SpecValidationError
+    from pysemantic_spark.plans.compiler import compile_spec
+    from pysemantic_spark.spec import DatasetSpec
+
+    with pytest.raises(SpecValidationError, match="columns"):
+        compile_spec(DatasetSpec.from_dict("t", {"drift": {"columns": []}}))
+    with pytest.raises(SpecValidationError, match="n_bins"):
+        compile_spec(
+            DatasetSpec.from_dict("t", {"drift": {"columns": ["v"], "n_bins": 0}})
+        )
+    plan = compile_spec(
+        DatasetSpec.from_dict("t", {"drift": {"columns": ["v"], "baseline": "b.json"}})
+    )
+    assert plan.drift is not None and plan.drift.columns == ["v"]
+
+
 # --- skew ------------------------------------------------------------------
 
 def test_salted_group_count_invariant_to_salt_factor(spark):
