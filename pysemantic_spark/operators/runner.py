@@ -476,8 +476,15 @@ def execute(
 
 
 def _apply_postprocessors(df: DataFrame, spec: DatasetSpec) -> DataFrame:
-    """Column postprocessors = named vectorized pandas fns (Arrow batches);
-    df postprocessors = named DataFrame transforms. No per-row Python."""
+    """Column postprocessors = named vectorized pandas Series fns (Arrow
+    batches) resolved from the CONVERTER registry — register them with
+    ``register_converter()`` (same callable shape as converters; only the
+    application point differs: converters run at load, postprocessors run
+    on the cleaned survivors). Df-level postprocessors = named
+    DataFrame→DataFrame transforms from ``register_postprocessor()``.
+    Unknown names raise ParserArgumentError at plan time, matching the
+    converters path. No per-row Python anywhere."""
+    from pysemantic_spark.errors import ParserArgumentError
     from pysemantic_spark.sources.readers import (
         CONVERTER_REGISTRY,
         POSTPROCESSOR_REGISTRY,
@@ -485,11 +492,23 @@ def _apply_postprocessors(df: DataFrame, spec: DatasetSpec) -> DataFrame:
 
     for col, rules in spec.column_rules.items():
         for name in rules.postprocessors:
-            fn = CONVERTER_REGISTRY[name]
+            fn = CONVERTER_REGISTRY.get(name)
+            if fn is None:
+                raise ParserArgumentError(
+                    f"{spec.name}: unknown column postprocessor {name!r} for "
+                    f"{col!r} — register a pandas Series fn via "
+                    "register_converter()"
+                )
             udf = F.pandas_udf(fn, returnType=df.schema[col].dataType)
             df = df.withColumn(col, udf(F.col(col)))
     for name in spec.postprocessors:
-        df = df.transform(POSTPROCESSOR_REGISTRY[name])
+        fn = POSTPROCESSOR_REGISTRY.get(name)
+        if fn is None:
+            raise ParserArgumentError(
+                f"{spec.name}: unknown postprocessor {name!r} — register a "
+                "DataFrame transform via register_postprocessor()"
+            )
+        df = df.transform(fn)
     return df
 
 

@@ -104,23 +104,74 @@ def load_dataset(spark: SparkSession, spec: DatasetSpec) -> DataFrame:
     df = _apply_projection(df, spec)
     df = _apply_renames(df, spec)
     df = _apply_na_values(df, spec)
+    df = _apply_combine_dt(df, spec)
     df = _apply_casts(df, spec)
     df = _apply_converters(df, spec)
     if spec.ncols is not None and len(df.columns) != spec.ncols:
         raise ParserArgumentError(
             f"{spec.name}: expected {spec.ncols} columns, found {len(df.columns)}"
         )
-    if spec.nrows is not None:
-        df = df.limit(spec.nrows)
+    df = _apply_nrows(df, spec)
+    return df
+
+
+def _apply_nrows(df: DataFrame, spec: DatasetSpec) -> DataFrame:
+    """int → head-limit; dict form → random sample.
+
+    `fraction` is the scale path: df.sample is a per-partition Bernoulli
+    filter — no shuffle, no driver involvement, works unchanged at 10^12
+    rows. `count` compiles to orderBy(rand(seed)).limit(n) =
+    TakeOrderedAndProject: a bounded per-partition top-k heap merged on the
+    driver — O(n) memory in the requested count, NOT in the data size."""
+    if spec.nrows is None:
+        return df
+    if isinstance(spec.nrows, dict):
+        seed = int(spec.nrows.get("seed", 42))
+        frac = spec.nrows.get("fraction")
+        if frac is not None:
+            return df.sample(fraction=float(frac), seed=seed)
+        return df.orderBy(F.rand(seed)).limit(int(spec.nrows["count"]))
+    return df.limit(spec.nrows)
+
+
+def _apply_combine_dt(df: DataFrame, spec: DatasetSpec) -> DataFrame:
+    """Build one timestamp from several raw columns (pandas parse_dates
+    list form): sources string-concatenated with a space, parsed via
+    try_to_timestamp (ANSI-safe: malformed rows → NULL, surfacing through
+    null-rate / not_null checks), sources dropped."""
+    for out, srcs in (spec.combine_dt_columns or {}).items():
+        missing = [c for c in srcs if c not in df.columns]
+        if missing:
+            raise ParserArgumentError(
+                f"{spec.name}: combine_dt_columns[{out!r}] references missing "
+                f"columns {missing}"
+            )
+        combined = F.concat_ws(" ", *[F.col(c).cast("string") for c in srcs])
+        df = df.withColumn(out, F.try_to_timestamp(combined))
+        df = df.drop(*[c for c in srcs if c != out])
     return df
 
 
 def _read_one(spark: SparkSession, path: str, fmt: str, spec: DatasetSpec) -> DataFrame:
     if fmt in ("csv", "tsv"):
         sep = "\t" if fmt == "tsv" else (spec.delimiter or ",")
+        # header semantics (reference: pandas `header`): None/False → no
+        # header row; True/0 → first row is the header. Offsets > 0 (skip
+        # leading rows) have no Spark csv-reader equivalent — fail loudly
+        # rather than silently consuming data rows as a header.
+        if spec.header is None or spec.header is False:
+            header_opt = "false"
+        elif spec.header is True or spec.header == 0:
+            header_opt = "true"
+        else:
+            raise ParserArgumentError(
+                f"{spec.name}: header row offsets > 0 are not supported "
+                f"(got header={spec.header!r}); preprocess the file or use "
+                "header: 0"
+            )
         reader = (
             spark.read.option("sep", sep)
-            .option("header", "true" if (spec.header is not None) else "false")
+            .option("header", header_opt)
             # dtypes declared → read everything as STRING in one scan:
             # (a) declared-string columns keep raw text (leading zeros!),
             # (b) ALL na_values sentinels null out while columns are still
@@ -136,8 +187,17 @@ def _read_one(spark: SparkSession, path: str, fmt: str, spec: DatasetSpec) -> Da
     if fmt == "parquet":
         return spark.read.parquet(path)
     if fmt == "excel":
-        # tiny dimension tables only: driver-side pandas, then parallelize
-        pdf = pd.read_excel(path)
+        # tiny dimension tables only: driver-side pandas, then parallelize.
+        # Engine pinned by extension so failure modes are deterministic
+        # (pandas' format sniff raises a confusing ValueError otherwise).
+        engine = "xlrd" if path.lower().endswith(".xls") else "openpyxl"
+        try:
+            pdf = pd.read_excel(path, engine=engine)
+        except ImportError as e:
+            raise ParserArgumentError(
+                f"{spec.name}: reading Excel requires the {engine!r} engine "
+                f"(pip install {engine}): {e}"
+            ) from None
         return spark.createDataFrame(pdf)
     raise ParserArgumentError(f"{spec.name}: unsupported format {fmt!r}")
 
@@ -164,25 +224,48 @@ def _apply_renames(df: DataFrame, spec: DatasetSpec) -> DataFrame:
     return df
 
 
-def _apply_na_values(df: DataFrame, spec: DatasetSpec) -> DataFrame:
-    sentinels = list(spec.na_values or [])
-    for col, rules in spec.column_rules.items():
-        vals = rules.na_values or []
+def _na_match_expr(field: T.StructField, vals: list) -> "F.Column | None":
+    """Boolean Column: True where the value equals any sentinel, matched by
+    the column's TYPE (pandas na_values applies to every column, not just
+    strings): string columns compare raw text; numeric columns compare
+    parsed numeric literals ('-999' nulls a -999 in an inferred-int column);
+    other types compare their string rendering. ANSI-safe (try_cast only)."""
+    c = F.col(field.name)
+    if isinstance(field.dataType, T.StringType):
+        return c.isin([str(v) for v in vals])
+    if isinstance(field.dataType, T.NumericType):
+        nums = []
         for v in vals:
-            if col in df.columns:
-                df = df.withColumn(
-                    col, F.when(F.col(col) == F.lit(v), None).otherwise(F.col(col))
-                )
-    if sentinels:
-        str_cols = [f.name for f in df.schema.fields
-                    if isinstance(f.dataType, T.StringType)]
-        for c in str_cols:
-            df = df.withColumn(
-                c,
-                F.when(F.col(c).isin([str(v) for v in sentinels]), None)
-                .otherwise(F.col(c)),
+            if isinstance(v, (int, float)) and not isinstance(v, bool):
+                nums.append(v)
+            else:
+                try:
+                    f = float(str(v))
+                    nums.append(int(f) if f.is_integer() else f)
+                except ValueError:
+                    continue  # 'NA' can never equal a numeric value
+        return c.isin(nums) if nums else None
+    return c.try_cast("string").isin([str(v) for v in vals])
+
+
+def _apply_na_values(df: DataFrame, spec: DatasetSpec) -> DataFrame:
+    """Null out sentinel values — ONE projection for the whole table
+    (a withColumn per (sentinel × column) bloats the plan on wide tables)."""
+    sentinels = list(spec.na_values or [])
+    per_col = {
+        col: list(rules.na_values or []) for col, rules in spec.column_rules.items()
+    }
+    exprs: dict[str, F.Column] = {}
+    for field in df.schema.fields:
+        vals = sentinels + per_col.get(field.name, [])
+        if not vals:
+            continue
+        match = _na_match_expr(field, vals)
+        if match is not None:
+            exprs[field.name] = (
+                F.when(match, None).otherwise(F.col(field.name))
             )
-    return df
+    return df.withColumns(exprs) if exprs else df
 
 
 def _apply_casts(df: DataFrame, spec: DatasetSpec) -> DataFrame:

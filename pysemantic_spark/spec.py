@@ -120,11 +120,20 @@ class DatasetSpec:
     exclude_columns: list[str] | None = None
     dtypes: dict[str, str] = field(default_factory=dict)
     na_values: list[Any] | None = None
-    nrows: int | None = None
+    # int → head-limit (reference: pandas nrows); dict → random sample
+    # (reference SchemaValidator nrows dict form):
+    #   {random: true, fraction: 0.01, seed: 42}  → df.sample (scale path)
+    #   {random: true, count: 1000,   seed: 42}   → seeded rand top-k
+    nrows: int | dict[str, Any] | None = None
     ncols: int | None = None
     md5: str | None = None
     drop_duplicates: bool = False  # df-level (reference: dataframe_rules)
     drop_na: bool = False
+    # multi-column datetime combine (reference: parse_dates list-of-lists /
+    # combine_dt_columns): {out_col: [src_col, ...]} — sources are
+    # string-concatenated and parsed into ONE timestamp at load; source
+    # columns are dropped (pandas keep_date_col=False semantics)
+    combine_dt_columns: dict[str, list[str]] = field(default_factory=dict)
     column_rules: dict[str, ColumnRules] = field(default_factory=dict)
     # list of composite keys, e.g. [["conv_id","turn_idx"]]
     uniqueness: list[list[str]] = field(default_factory=list)
@@ -134,11 +143,44 @@ class DatasetSpec:
     postprocessors: list[str] = field(default_factory=list)
 
     def __post_init__(self) -> None:
-        if self.nrows is not None and (not isinstance(self.nrows, int) or self.nrows <= 0):
+        if isinstance(self.nrows, dict):
+            known = {"random", "fraction", "count", "seed"}
+            unknown = set(self.nrows) - known
+            if unknown:
+                raise SpecValidationError(
+                    f"nrows dict: unknown keys {sorted(unknown)} (allowed: {sorted(known)})"
+                )
+            if not self.nrows.get("random"):
+                raise SpecValidationError(
+                    "nrows dict form requires random: true (use a plain int for head-limit)"
+                )
+            frac, count = self.nrows.get("fraction"), self.nrows.get("count")
+            if (frac is None) == (count is None):
+                raise SpecValidationError(
+                    "nrows random sampling needs exactly one of `fraction` or `count`"
+                )
+            if frac is not None and not (
+                isinstance(frac, (int, float)) and 0 < frac <= 1
+            ):
+                raise SpecValidationError(f"nrows fraction must be in (0, 1], got {frac!r}")
+            if count is not None and (not isinstance(count, int) or count <= 0):
+                raise SpecValidationError(f"nrows count must be a natural number, got {count!r}")
+            seed = self.nrows.get("seed", 42)
+            if not isinstance(seed, int):
+                raise SpecValidationError(f"nrows seed must be an int, got {seed!r}")
+        elif self.nrows is not None and (not isinstance(self.nrows, int) or self.nrows <= 0):
             raise SpecValidationError(f"nrows must be a natural number, got {self.nrows!r}")
         if self.ncols is not None and (not isinstance(self.ncols, int) or self.ncols <= 0):
             raise SpecValidationError(f"ncols must be a natural number, got {self.ncols!r}")
         self.dtypes = {c: canonical_dtype(t) for c, t in (self.dtypes or {}).items()}
+        for out, srcs in (self.combine_dt_columns or {}).items():
+            if not isinstance(srcs, list) or not srcs or not all(
+                isinstance(s, str) for s in srcs
+            ):
+                raise SpecValidationError(
+                    f"combine_dt_columns[{out!r}] must be a non-empty list of "
+                    f"source column names, got {srcs!r}"
+                )
         for key in self.uniqueness:
             if not isinstance(key, list) or not key:
                 raise SpecValidationError(f"uniqueness entries must be non-empty lists: {key!r}")
