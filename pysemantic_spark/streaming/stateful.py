@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from collections.abc import Iterable, Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -41,24 +42,45 @@ def _make_check_contiguity(evict_idle_ms: int):
             state.remove()
             return
         max_seen = state.get[0] if state.exists else -1
-        out_rows = []
+        outs: list[pd.DataFrame] = []
         for pdf in pdfs:
-            for idx in sorted(int(i) for i in pdf["turn_idx"].dropna()):
-                expected = max_seen + 1
-                if idx == expected:
-                    max_seen = idx
-                elif idx > expected:
-                    out_rows.append((conv_id, idx, expected, "gap"))
-                    max_seen = idx  # resync so one gap isn't re-reported forever
-                else:
-                    out_rows.append((conv_id, idx, expected, "duplicate"))
+            # Vectorized replay of the sequential rule over the SORTED batch
+            # (no per-row Python — a 10^5-turn replay batch is a handful of
+            # numpy ops). For sorted a, the sequential "expected = running
+            # max + 1" state at element i is prefix_max_i =
+            # max(carried max_seen, a[i-1]) (a is sorted, so the running max
+            # of earlier elements is just the previous element). Then
+            #   duplicate: a[i] <= prefix_max_i       (idx already seen)
+            #   gap:       a[i] >  prefix_max_i + 1   (skipped ahead; resync)
+            #   ok:        a[i] == prefix_max_i + 1
+            # which reproduces the per-row loop exactly, including
+            # gap-resync (the running max jumps to a[i] either way).
+            a = np.sort(pdf["turn_idx"].dropna().to_numpy(dtype=np.int64))
+            if a.size == 0:
+                continue
+            prefix_max = np.empty_like(a)
+            prefix_max[0] = max_seen
+            np.maximum(a[:-1], max_seen, out=prefix_max[1:])
+            expected = prefix_max + 1
+            dup = a <= prefix_max
+            bad = dup | (a > expected)
+            if bad.any():
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "conv_id": conv_id,
+                            "turn_idx": a[bad].astype(np.int32),
+                            "expected_next": expected[bad].astype(np.int32),
+                            "kind": np.where(dup[bad], "duplicate", "gap"),
+                        }
+                    )
+                )
+            max_seen = int(max(max_seen, a[-1]))
         state.update((max_seen,))
         if evict_idle_ms > 0:
             state.setTimeoutDuration(evict_idle_ms)
-        if out_rows:
-            yield pd.DataFrame(
-                out_rows, columns=["conv_id", "turn_idx", "expected_next", "kind"]
-            )
+        if outs:
+            yield pd.concat(outs, ignore_index=True)
 
     return _check_contiguity
 

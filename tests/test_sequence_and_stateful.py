@@ -99,3 +99,97 @@ def test_stateful_streaming_contiguity(spark, tmp_path):
         assert got2 == {("x", 1, 2, "duplicate"), ("x", 3, 2, "gap")}
     finally:
         q.stop()
+
+
+class _FakeState:
+    """Minimal GroupState stand-in for driving the state fn directly."""
+
+    def __init__(self):
+        self._v = None
+        self.hasTimedOut = False
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = tuple(v)
+
+    def remove(self):
+        self._v = None
+
+    def setTimeoutDuration(self, ms):
+        pass
+
+
+def _reference_contiguity(idxs, max_seen=-1):
+    """The original per-row sequential rule, kept as the test oracle."""
+    rows = []
+    for idx in sorted(int(i) for i in idxs):
+        expected = max_seen + 1
+        if idx == expected:
+            max_seen = idx
+        elif idx > expected:
+            rows.append((idx, expected, "gap"))
+            max_seen = idx
+        else:
+            rows.append((idx, expected, "duplicate"))
+    return rows, max_seen
+
+
+def test_vectorized_contiguity_matches_sequential_rule():
+    """Property: the numpy path reproduces the per-row loop exactly over
+    random batches, including state carry-over between micro-batches."""
+    import numpy as np
+
+    from pysemantic_spark.streaming.stateful import _make_check_contiguity
+
+    rng = np.random.default_rng(11)
+    fn = _make_check_contiguity(0)
+    for trial in range(20):
+        state = _FakeState()
+        max_seen = -1
+        for batch in range(3):
+            idxs = rng.integers(0, 40, size=rng.integers(0, 30))
+            exp_rows, max_seen = _reference_contiguity(idxs, max_seen)
+            out = list(
+                fn(("c",), [pd.DataFrame({"turn_idx": idxs})], state)
+            )
+            got = (
+                [
+                    (int(r.turn_idx), int(r.expected_next), r.kind)
+                    for r in pd.concat(out).itertuples()
+                ]
+                if out
+                else []
+            )
+            assert got == exp_rows, (trial, batch)
+            assert state.get[0] == max_seen
+
+
+def test_vectorized_contiguity_throughput():
+    """10^5-turn single-conversation replay batch must be numpy-fast
+    (regression: the per-row Python loop was the throughput ceiling)."""
+    import time
+
+    import numpy as np
+
+    from pysemantic_spark.streaming.stateful import _make_check_contiguity
+
+    rng = np.random.default_rng(5)
+    # ~10% duplicates and gaps sprinkled into a 100k contiguous run
+    idxs = np.arange(100_000)
+    idxs[rng.integers(0, 100_000, 5_000)] = rng.integers(0, 100_000, 5_000)
+    fn = _make_check_contiguity(0)
+    state = _FakeState()
+    t0 = time.time()
+    out = list(fn(("c",), [pd.DataFrame({"turn_idx": idxs})], state))
+    wall = time.time() - t0
+    n_viol = sum(len(o) for o in out)
+    exp_rows, _ = _reference_contiguity(idxs)
+    assert n_viol == len(exp_rows)
+    assert wall < 1.0, f"vectorized path took {wall:.2f}s for 1e5 turns"
