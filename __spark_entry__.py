@@ -227,11 +227,17 @@ def q_fingerprint_dupes_documents(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 def q_minhash_lsh_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup candidates, exact-Jaccard verified (rows-only
-    oracle: hash functions are engine-specific)."""
+    """MinHash+LSH near-dup candidates, exact-Jaccard verified.
+
+    Oracle-checkable at threshold 0.5: every pair with exact Jaccard ≥ 0.5
+    collides in ≥1 of 32 two-row bands with probability 1−(1−0.25)^32
+    ≈ 1−10⁻⁴ (the synthetic corpus has no pairs near the boundary — its
+    jaccard distribution is bimodal, <0.15 or >0.8), and the emitted
+    jaccard values are exact (computed on the full shingle sets), so the
+    output equals the exact-Jaccard oracle restricted to j ≥ 0.5."""
     docs = _read(spark, sf_dir, "documents")
     return dedup.minhash_lsh_pairs(
-        docs, "doc_id", "text", n=3, num_hashes=64, bands=32, threshold=0.12
+        docs, "doc_id", "text", n=3, num_hashes=64, bands=32, threshold=0.5
     )
 
 
@@ -633,6 +639,37 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY n_tokens DESC, doc_id ASC LIMIT 10
         """,
         "ngram_jaccard_pairs_documents": ngram_jaccard,
+        # exact-Jaccard oracle for the LSH path: full shingle sets (no
+        # stop-shingle cap — the verify step computes jaccard on the full
+        # sets), threshold 0.5 where band-collision probability ≈ 1
+        "minhash_lsh_pairs_documents": """
+            WITH tok AS (
+                SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+                FROM documents WHERE trim(text) <> ''
+            ),
+            sh AS (
+                SELECT doc_id,
+                       CASE WHEN len(t) >= 3
+                            THEN list_distinct([array_to_string(t[i:i+2], ' ')
+                                                for i in range(1, len(t) - 1)])
+                            ELSE [] END AS g
+                FROM tok
+            ),
+            sizes AS (SELECT doc_id, len(g) AS sz FROM sh),
+            inv AS (SELECT doc_id, unnest(g) AS shingle FROM sh),
+            pairs AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+                FROM inv a JOIN inv b USING (shingle)
+                WHERE a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT id_a, id_b,
+                   round(inter * 1.0 / (sa.sz + sb.sz - inter), 6) AS jaccard
+            FROM pairs
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.5
+        """,
         "fingerprint_dupes_documents": r"""
             SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,
                    count(*) AS dup_count
