@@ -83,3 +83,71 @@ def test_idempotent_when_done(spark, table):
     third = run_resumable(spark, io, transcripts_spec(), dims=dims)
     assert third["processed"] == []
     assert len(third["skipped"]) == N_BUCKETS
+
+
+def test_run_resumable_depends_only_on_the_io_interface(spark, tmp_path):
+    """Interface-shape contract for pluggable table IO (IcebergIO on a real
+    cluster, ParquetManifestIO here): run_resumable must drive ANY object
+    exposing read_buckets/load_manifest/save_manifest/_bucket_fingerprint
+    and a root, touching nothing else — asserted with a recording mock that
+    delegates storage to ParquetManifestIO."""
+    import pandas as pd
+
+    from pysemantic_spark.sources import tableio
+    from pysemantic_spark.spec import DatasetSpec
+
+    inner = tableio.ParquetManifestIO(str(tmp_path / "t"))
+    pdf = pd.DataFrame(
+        {"conv_id": [f"c{i % 7}" for i in range(200)], "turn_idx": list(range(200))}
+    )
+    inner.write_bucketed(spark.createDataFrame(pdf), "conv_id", n_buckets=4)
+
+    calls = []
+
+    class RecordingIO:
+        root = inner.root
+
+        def read_buckets(self, spark_, buckets):
+            calls.append(("read_buckets", tuple(buckets)))
+            return inner.read_buckets(spark_, buckets)
+
+        def load_manifest(self):
+            calls.append(("load_manifest",))
+            return inner.load_manifest()
+
+        def save_manifest(self, m):
+            calls.append(("save_manifest", tuple(sorted(
+                b for b, e in m.entries.items() if e.status == "done"
+            ))))
+            inner.save_manifest(m)
+
+        def _bucket_fingerprint(self, b):
+            return inner._bucket_fingerprint(b)
+
+    spec = DatasetSpec.from_dict("t", {"uniqueness": [["conv_id", "turn_idx"]]})
+    out = tableio.run_resumable(
+        spark, RecordingIO(), spec, chunk_size=2,
+        violations_dir=str(tmp_path / "viol"),
+    )
+    assert sorted(out["processed"]) == [0, 1, 2, 3]
+    # contract: one load, one read per chunk, one save per chunk
+    assert calls[0] == ("load_manifest",)
+    reads = [c for c in calls if c[0] == "read_buckets"]
+    saves = [c for c in calls if c[0] == "save_manifest"]
+    assert reads == [("read_buckets", (0, 1)), ("read_buckets", (2, 3))]
+    # manifest checkpointing is incremental: done-set grows per chunk
+    assert saves == [("save_manifest", (0, 1)), ("save_manifest", (0, 1, 2, 3))]
+
+
+def test_icebergio_fails_loudly_without_runtime(spark):
+    """No iceberg jar in this sandbox: the IcebergIO surface must raise a
+    clear RuntimeError naming the fallback, never silently degrade."""
+    import pytest as _pytest
+
+    from pysemantic_spark.sources.tableio import IcebergIO
+
+    io = IcebergIO("cat.db.transcripts")
+    with _pytest.raises(RuntimeError, match="ParquetManifestIO"):
+        io.write_bucketed(None, "conv_id", 16)
+    with _pytest.raises(RuntimeError, match="iceberg-spark-runtime"):
+        io.read_buckets(spark, [0])
