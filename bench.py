@@ -106,6 +106,9 @@ def main() -> None:
         "cosine_topk_embeddings",
         "embedding_neardup_pairs",
         "ngram_jaccard_pairs_documents",
+        "psi_drift_documents",
+        "ks_drift_documents",
+        "spec_drift_documents",
     ]
     for name in headline:
         _noop(qs[name](spark, SF_DIR))  # warmup: codegen/JIT compile
