@@ -8,6 +8,8 @@ plus the scale-era ``validate`` job entry for spark-submit.
     python -m pysemantic_spark.cli add-dataset <project> <dataset> --path P
     python -m pysemantic_spark.cli remove-dataset <project> <dataset>
     python -m pysemantic_spark.cli export <project> <dataset> <outpath>
+    python -m pysemantic_spark.cli drift-baseline --source P --columns a,b \
+        --out baseline.json [--n-bins 64]
     python -m pysemantic_spark.cli validate --spec S --dataset D --table T \
         --out OUT [--resume] [--buckets N] [--chunk-size K]
 
@@ -44,6 +46,17 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--buckets", type=int, default=64)
     b.add_argument("--salt-factor", type=int, default=4)
 
+    db = sub.add_parser(
+        "drift-baseline",
+        help="sketch a baseline table for YAML drift: blocks "
+             "(numeric → histogram, string/boolean → categorical counts)",
+    )
+    db.add_argument("--source", required=True, help="baseline parquet path")
+    db.add_argument("--columns", required=True,
+                    help="comma-separated drift columns")
+    db.add_argument("--out", required=True, help="baseline sketch JSON path")
+    db.add_argument("--n-bins", type=int, default=64)
+
     v = sub.add_parser("validate")
     v.add_argument("--spec", required=True, help="YAML data dictionary")
     v.add_argument("--dataset", required=True, help="dataset name in the spec")
@@ -79,9 +92,26 @@ def main(argv: list[str] | None = None) -> int:
         return 0
     if args.cmd == "bucketize":
         return _bucketize(args)
+    if args.cmd == "drift-baseline":
+        return _drift_baseline(args)
     if args.cmd == "validate":
         return _validate(args)
     return 2
+
+
+def _drift_baseline(args) -> int:
+    from pysemantic_spark.operators.drift import save_drift_baseline
+    from pysemantic_spark.session import get_spark
+
+    spark = get_spark(app_name="pysemantic_spark:drift_baseline")
+    df = spark.read.parquet(args.source)
+    cols = [c.strip() for c in args.columns.split(",") if c.strip()]
+    baseline = save_drift_baseline(df, cols, args.out, n_bins=args.n_bins)
+    print(json.dumps({
+        "out": args.out, "n_bins": args.n_bins,
+        "columns": {c: e["kind"] for c, e in baseline["columns"].items()},
+    }))
+    return 0
 
 
 def _bucketize(args) -> int:

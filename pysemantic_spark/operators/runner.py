@@ -294,7 +294,7 @@ def execute(
     dupes_sink: str | None = None,
     sink_format: str = "parquet",
 ) -> dict[str, Any]:
-    """Production run: full suite in TWO data passes.
+    """Production run: one full-width pass + skinny pruned-scan aggs.
 
     Pass 1 (full width): write/materialize the violations row stream, with
       per-column stats and per-check counts riding the same action via

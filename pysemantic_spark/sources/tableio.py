@@ -256,7 +256,13 @@ def run_resumable(
             e.run_id = run_id
             e.wall_time_sec = round(wall / len(chunk), 3)
             e.input_fingerprint = io._bucket_fingerprint(b)
-            e.stats = {"n_chunk_rows": out["n_rows"], "chunk_stats": stats} if b == chunk[0] else {}
+            if b == chunk[0]:
+                e.stats = {"n_chunk_rows": out["n_rows"], "chunk_stats": stats}
+                if out.get("drift") is not None:
+                    # drifted/not-drifted rows ride the manifest (tiny frame)
+                    e.stats["drift"] = out["drift"].to_dict(orient="records")
+            else:
+                e.stats = {}
             manifest.entries[b] = e
         io.save_manifest(manifest)
         processed.extend(chunk)

@@ -207,3 +207,40 @@ def test_salted_repartition_spreads_heavy_key(spark):
     )
     assert parts >= 4  # heavy conversation spread over multiple partitions
     assert out.count() == len(pdf)  # no rows lost
+
+
+def test_cli_drift_baseline_roundtrip(spark, frames, tmp_path):
+    """`drift-baseline` CLI builds a sketch file that a YAML drift: block
+    can consume directly (in-process main(): getOrCreate reuses the
+    session)."""
+    import json
+
+    from pysemantic_spark.cli import main as cli_main
+    from pysemantic_spark.operators.drift import load_drift_baseline
+
+    dfb, _, dfx, _ = frames
+    # g cast to string → exercises the categorical branch (it is numeric in
+    # the shared fixture, which correctly sketches as a histogram)
+    dfb = dfb.withColumn("g", F.col("g").cast("string"))
+    dfx = dfx.withColumn("g", F.col("g").cast("string"))
+    src = str(tmp_path / "base.parquet")
+    dfb.write.parquet(src)
+    out = str(tmp_path / "bl.json")
+    rc = cli_main(
+        ["drift-baseline", "--source", src, "--columns", "v,g",
+         "--out", out, "--n-bins", "16"]
+    )
+    assert rc == 0
+    bl = load_drift_baseline(out)
+    assert bl["columns"]["v"]["kind"] == "hist"
+    assert len(bl["columns"]["v"]["counts"]) == 18
+    assert bl["columns"]["g"]["kind"] == "cat"
+    # consumable by the spec surface end-to-end
+    from pysemantic_spark.operators.runner import execute
+    from pysemantic_spark.spec import DatasetSpec
+
+    spec = DatasetSpec.from_dict(
+        "t", {"drift": {"columns": ["v", "g"], "baseline": out, "n_bins": 16}}
+    )
+    res = execute(spark, dfx, spec, bucket_by="g", n_buckets=4)
+    assert res["drift"].set_index(["column", "metric"]).loc[("v", "psi"), "drifted"]
