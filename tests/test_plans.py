@@ -102,3 +102,47 @@ def test_ngram_inverted_index_no_cartesian(spark):
     plan = _plan(dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=2, threshold=0.5))
     assert "CartesianProduct" not in plan
     assert "shingle" in plan  # equi-join on the shingle key
+
+
+def test_drift_sketch_scan_is_pruned_and_single(spark, parts):
+    """The spec-drift current-side sketch must read ONLY the drift columns
+    (ReadSchema pruning through the posexplode) and scan the table once for
+    ALL drift columns together."""
+    from pysemantic_spark.operators import drift
+
+    df, _, _ = parts
+    # capture the plan of the sketch aggregation (same DAG multi_sketch_counts
+    # collects): two numeric + one categorical column in ONE scan
+    exprs = [
+        drift.bin_expr("turn_idx", 0.0, 50.0, 16).cast("string"),
+        F.col("role").cast("string"),
+    ]
+    agg = (
+        df.select(F.posexplode(F.array(*exprs)).alias("ci", "val"))
+        .filter(F.col("val").isNotNull())
+        .groupBy("ci", "val")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    plan = _plan(agg)
+    assert plan.count("FileScan parquet") == 1
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    read_cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+    assert read_cols == {"turn_idx", "role"}  # text/ts/conv_id never read
+
+
+def test_ks_between_scans_are_pruned(spark, parts):
+    """ks_between reads only the drift column on both sides; the window
+    cumsum runs over the aggregated n_bins-row spine, never input rows."""
+    from pysemantic_spark.operators.drift import ks_between
+
+    df, _, _ = parts
+    base = df.filter(F.col("turn_idx") % 2 == 0)
+    cur = df.filter(F.col("turn_idx") % 2 == 1)
+    out = ks_between(base, cur, "turn_idx", 0.0, 50.0, n_bins=16)
+    plan = _plan(out)
+    for m in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
+        cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+        assert cols <= {"turn_idx"}, cols
+    # the window operates post-aggregation: it must appear above an agg of
+    # the 18-row bin spine, so no Exchange of input-sized data feeds it
+    assert "Window" in plan
