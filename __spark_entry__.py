@@ -417,12 +417,14 @@ def q_ivf_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """embedding-cosine near-dup pairs via LSH buckets (rows-only oracle)."""
+    """embedding-cosine near-dup pairs via multi-table sign-LSH (rows-only
+    oracle — approximate by design; expected recall ≈ 0.89 at cos 0.5 with
+    k=6 planes × L=24 tables, see embedding_near_dup_pairs recall math)."""
     emb = _read(spark, sf_dir, "embeddings").withColumn(
         "embedding", F.col("embedding").cast("array<double>")
     )
     return similarity.embedding_near_dup_pairs(
-        emb, dim=64, threshold=0.5, n_planes=6
+        emb, dim=64, threshold=0.5, n_planes=6, n_tables=24
     )
 
 

@@ -245,28 +245,62 @@ def embedding_near_dup_pairs(
     vec_col: str = "embedding",
     threshold: float = 0.95,
     n_planes: int = 8,
+    n_tables: int = 1,
     seed: int = 42,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs (id_a < id_b, cos_sim ≥ threshold)
-    via LSH bucket self-join. High thresholds → near-identical sign
-    patterns → single-bucket candidates suffice."""
+    via MULTI-TABLE sign-LSH: candidates collide in ≥1 of ``n_tables``
+    independent ``n_planes``-plane tables, then exact-cosine verify.
+
+    Recall math (choose the operating point per target threshold): a pair
+    at angle θ agrees on one random hyperplane with prob 1−θ/π, collides in
+    one k-plane table with p = (1−θ/π)^k, and survives L tables with
+    recall = 1 − (1−p)^L. Examples:
+      cos ≥ 0.95 (θ≤18°): k=8 → p≈0.43; L=8  → recall ≈ 0.99
+      cos ≥ 0.5  (θ≤60°): k=6 → p≈0.088; L=24 → recall ≈ 0.89
+    A single table (round-1 default) has recall = p — 9% at cos 0.5, which
+    silently dropped most qualifying pairs. Cost: candidates are
+    distinct()'d across tables before the exact verify, so each pair pays
+    the cosine once however many tables it collides in; shuffle volume is
+    (id, 1 int bucket) per table, vectors join back only for candidates."""
     from pysemantic_spark.operators.dedup import _materialize
 
-    b = _materialize(
+    base = _materialize(
         df.select(
             F.col(id_col).alias("_id"),
             F.col(vec_col).alias("_vec"),
-            hyperplane_bucket(F.col(vec_col), dim, n_planes, seed).alias("_bucket"),
+            *[
+                hyperplane_bucket(
+                    F.col(vec_col), dim, n_planes, seed + 7919 * t
+                ).alias(f"_bucket{t}")
+                for t in range(n_tables)
+            ],
         )
     )
-    l, r = b.alias("a"), b.alias("b")
-    return (
-        l.join(r, on="_bucket")
+    bucketed = base.select(
+        "_id",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(t).alias("table"), F.col(f"_bucket{t}").alias("bucket"))
+                for t in range(n_tables)
+            ])
+        ).alias("tb"),
+    ).select("_id", "tb.table", "tb.bucket")
+    l, r = bucketed.alias("a"), bucketed.alias("b")
+    cand = (
+        l.join(r, on=["table", "bucket"])
         .filter(F.col("a._id") < F.col("b._id"))
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .distinct()
+    )
+    vecs = base.select("_id", "_vec")
+    return (
+        cand.join(vecs.withColumnsRenamed({"_id": "id_a", "_vec": "vec_a"}), "id_a")
+        .join(vecs.withColumnsRenamed({"_id": "id_b", "_vec": "vec_b"}), "id_b")
         .select(
-            F.col("a._id").alias("id_a"),
-            F.col("b._id").alias("id_b"),
-            F.round(cosine(F.col("a._vec"), F.col("b._vec")), 6).alias("cos_sim"),
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("vec_a"), F.col("vec_b")), 6).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
     )

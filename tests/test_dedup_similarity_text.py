@@ -146,6 +146,43 @@ def test_embedding_near_dup_pairs(spark, emb_df):
     assert (0, 9) not in got
 
 
+def test_embedding_near_dup_multi_table_recall(spark):
+    """Multi-table LSH must recover the recall a single sign-LSH table
+    loses at moderate thresholds: at cos 0.5 one 6-plane table collides
+    with p = (2/3)^6 ≈ 0.088, while 24 tables give 1-(1-p)^24 ≈ 0.89.
+    Built per-pair: 120 planted pairs at ~55-60 deg (cos ~0.52-0.57)."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    rows = []
+    n_pairs, dim = 120, 16
+    for i in range(n_pairs):
+        a = rng.standard_normal(dim)
+        a /= np.linalg.norm(a)
+        # rotate by an angle giving cos in (0.52, 0.57): still >= 0.5
+        o = rng.standard_normal(dim)
+        o -= o.dot(a) * a
+        o /= np.linalg.norm(o)
+        theta = np.arccos(rng.uniform(0.52, 0.57))
+        b = np.cos(theta) * a + np.sin(theta) * o
+        rows.append((2 * i, [float(x) for x in 10 * a]))
+        rows.append((2 * i + 1, [float(x) for x in 10 * b]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def recall(n_tables):
+        got = similarity.embedding_near_dup_pairs(
+            df, dim=dim, threshold=0.5, n_planes=6, n_tables=n_tables
+        ).collect()
+        planted = {(r["id_a"], r["id_b"]) for r in got
+                   if r["id_b"] == r["id_a"] + 1 and r["id_a"] % 2 == 0}
+        return len(planted) / n_pairs
+
+    r1, r24 = recall(1), recall(24)
+    assert r1 < 0.35          # single table demonstrably lossy here
+    assert r24 > 0.75         # multi-table recovers (E ~ 0.89)
+    assert r24 > r1 + 0.3
+
+
 # --- text functions ----------------------------------------------------------
 
 def test_text_functions(spark):
