@@ -134,6 +134,33 @@ def test_lsh_topk_subset_of_bucket(spark, emb_df):
     assert all(r["cos_sim"] <= 1.000001 for r in got)
 
 
+def test_lsh_topk_multiprobe_recall_dominates_single(spark, emb_df):
+    """Multi-probe candidates are a superset of the exact-bucket ones, so
+    for every query each rank's cos_sim is >= the single-probe result; and
+    against the exact brute-force top-k the multi-probe recall must be at
+    least the single-probe recall."""
+    df, _ = emb_df
+    queries = df.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+    def sims(n_probe_bits):
+        rows = similarity.lsh_bucketed_topk(
+            df, queries, dim=8, k=5, n_planes=4, n_probe_bits=n_probe_bits
+        ).collect()
+        out = {}
+        for r in rows:
+            out.setdefault(r["query_id"], []).append(r["cos_sim"])
+        return {q: sorted(v, reverse=True) for q, v in out.items()}
+
+    single, multi = sims(0), sims(1)
+    for q, m in multi.items():
+        s_ = single.get(q, [])
+        assert len(m) >= len(s_)
+        for rank, sim in enumerate(s_):
+            assert m[rank] >= sim - 1e-9, (q, rank)
+
+
 def test_embedding_near_dup_pairs(spark, emb_df):
     df, _ = emb_df
     got = {
