@@ -19,6 +19,7 @@ shuffles are on bucket ids (bounded cardinality) and the final top-k agg
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -73,6 +74,39 @@ def cosine_topk(
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def hyperplane_buckets_arrow(
+    vec_col: Column, dim: int, n_planes: int, n_tables: int, seed: int = 42
+) -> Column:
+    """All tables' LSH bucket ids in ONE Arrow-batched matmul:
+    array<long> of length n_tables.
+
+    Produces bit-identical buckets to ``hyperplane_bucket`` with seed
+    ``seed + 7919*t`` for table t (same seeded planes, same sign rule),
+    but computes every (table, plane) dot product as one
+    (batch × dim) @ (dim × T·P) numpy matmul instead of T·P interpreted
+    higher-order folds per row — the expression path is not codegen'd and
+    measured ~10× slower at T·P ≳ 100."""
+    planes = np.concatenate(
+        [
+            np.random.default_rng(seed + 7919 * t).standard_normal((n_planes, dim))
+            for t in range(n_tables)
+        ],
+        axis=0,
+    )  # (T*P, dim)
+    weights = np.ascontiguousarray(planes.T)  # (dim, T*P)
+    bit_vals = (1 << np.arange(n_planes, dtype=np.int64))  # per-table bit weights
+
+    @F.pandas_udf("array<long>")
+    def _buckets(vecs: pd.Series) -> pd.Series:
+        mat = np.stack(vecs.to_numpy())  # (batch, dim)
+        signs = (mat @ weights) >= 0  # (batch, T*P)
+        bits = signs.reshape(len(mat), n_tables, n_planes)
+        buckets = (bits * bit_vals).sum(axis=2)  # (batch, T)
+        return pd.Series(list(buckets))
+
+    return _buckets(vec_col)
 
 
 def hyperplane_bucket(vec_col: Column, dim: int, n_planes: int = 12, seed: int = 42) -> Column:
@@ -283,23 +317,16 @@ def embedding_near_dup_pairs(
         df.select(
             F.col(id_col).alias("_id"),
             F.col(vec_col).alias("_vec"),
-            *[
-                hyperplane_bucket(
-                    F.col(vec_col), dim, n_planes, seed + 7919 * t
-                ).alias(f"_bucket{t}")
-                for t in range(n_tables)
-            ],
+            # one Arrow matmul for all tables' buckets — NOT n_tables
+            # interpreted fold expressions (10× at n_tables·n_planes ≳ 100)
+            hyperplane_buckets_arrow(
+                F.col(vec_col), dim, n_planes, n_tables, seed
+            ).alias("_buckets"),
         )
     )
     bucketed = base.select(
-        "_id",
-        F.explode(
-            F.array(*[
-                F.struct(F.lit(t).alias("table"), F.col(f"_bucket{t}").alias("bucket"))
-                for t in range(n_tables)
-            ])
-        ).alias("tb"),
-    ).select("_id", "tb.table", "tb.bucket")
+        "_id", F.posexplode("_buckets").alias("table", "bucket")
+    )
     l, r = bucketed.alias("a"), bucketed.alias("b")
     cand = (
         l.join(r, on=["table", "bucket"])
