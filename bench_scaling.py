@@ -118,11 +118,11 @@ def main() -> None:
     # ~20 min of continuous benching, and recovered after idling). Ordering
     # + cool-down keeps each phase inside the unthrottled window.
     cooldown = int(os.environ.get("SCALING_COOLDOWN", "60"))
-    # N and 4N parallelism levels. Default 2→8: the sandbox host throttles
-    # vCPUs hard after sustained full-machine load, so a 32-core phase is
-    # unmeasurable back-to-back (8.6s → 216s observed); at ≤8 cores both
-    # configs stay far below the 32-core ceiling. Override with
-    # SCALING_CORES="8,32" on quiet hardware.
+    # N and 4N parallelism levels, default 8→32 (the full in-sandbox analog
+    # of the north_rule's N vs 4N executor pair). The sandbox host throttles
+    # vCPUs hard after sustained full-machine load (8.6s → 216s observed),
+    # so schedule this in a quiet window; override with e.g.
+    # SCALING_CORES="2,8" to stay below the 32-core ceiling on busy hosts.
     n_small, n_big = (
         int(x) for x in os.environ.get("SCALING_CORES", "8,32").split(",")
     )
@@ -159,11 +159,12 @@ def main() -> None:
             "turns_per_sec": round(runs[0]["rows"] / med),
         }
 
-    # Headline efficiency uses per-config MINIMUM across the interleaved
-    # runs: the sandbox host throttles unpredictably (identical 8-core runs
-    # measured 27.9–99.9 s in one session), so the minimum is the best
-    # estimator of each config's unthrottled capability and compares like
-    # with like. Median is reported alongside for transparency.
+    # Both estimators are computed and BOTH pass flags reported. The
+    # headline `passed` gates on the MEDIAN (the stricter, standard
+    # criterion); the per-config minimum is reported alongside because the
+    # sandbox host throttles unpredictably (identical 8-core runs measured
+    # 27.9–99.9 s in one session) and the minimum estimates each config's
+    # unthrottled capability — the quantity the cluster criterion is about.
     eff_min = results[n_small]["min_sec"] / (4 * results[n_big]["min_sec"])
     eff_med = results[n_small]["median_sec"] / (4 * results[n_big]["median_sec"])
     report = {
@@ -171,10 +172,13 @@ def main() -> None:
         "big_cores": n_big,
         "local_n": results[n_small],
         "local_4n": results[n_big],
-        "scaling_efficiency": round(eff_min, 3),
+        "scaling_efficiency": round(eff_med, 3),
+        "scaling_efficiency_min": round(eff_min, 3),
         "scaling_efficiency_median": round(eff_med, 3),
         "target": 0.8,
-        "passed": eff_min >= 0.8,
+        "passed": eff_med >= 0.8,
+        "passed_median": eff_med >= 0.8,
+        "passed_min": eff_min >= 0.8,
     }
     print(json.dumps(report))
     _write_md(report)
@@ -198,7 +202,8 @@ Protocol notes (round 2, both found by measurement):
    small config ~2× (giant reducer partitions → hash-table pressure/spill)
    and inflated "efficiency" to a meaningless superlinear 1.87.
 2. **Configs are interleaved (4N, N, 4N, N, …), one fresh JVM per run,
-   with cool-down gaps, and efficiency uses the per-config MINIMUM** — the
+   with cool-down gaps; both median- and minimum-based efficiency are
+   reported and the MEDIAN gates the pass flag** — the
    sandbox host throttles vCPUs unpredictably under sustained load (the
    same 32-core run measured 8.6 s fresh and 216 s after ~20 min of
    continuous benching; identical 8-core runs ranged 27.9–99.9 s in one
@@ -224,11 +229,13 @@ violations written to parquet.
 | local[{n}]  (N)  | {r['local_n']['median_sec']} | {r['local_n']['min_sec']} | {r['local_n']['runs_sec']} | {r['local_n']['turns_per_sec']:,} |
 | local[{b}] (4N) | {r['local_4n']['median_sec']} | {r['local_4n']['min_sec']} | {r['local_4n']['runs_sec']} | {r['local_4n']['turns_per_sec']:,} |
 
-**Scaling efficiency = T_N(min) / (4 × T_4N(min)) = {r['scaling_efficiency']}**
-(target ≥ {r['target']}: {"PASS" if r['passed'] else "FAIL"})
-Median-based figure: {r['scaling_efficiency_median']} (protocol note 2
-explains why the throttling-prone sandbox makes the minimum the honest
-estimator).
+**Scaling efficiency (median) = T_N(med) / (4 × T_4N(med)) =
+{r['scaling_efficiency_median']}** (target ≥ {r['target']}:
+{"PASS" if r['passed_median'] else "FAIL"}) — the headline gate.
+Minimum-based figure: {r['scaling_efficiency_min']}
+({"PASS" if r['passed_min'] else "FAIL"}; protocol note 2 explains why the
+throttling-prone sandbox makes the minimum the better estimator of
+unthrottled capability — both are reported, the stricter median gates).
 
 Spark conf: shuffle.partitions = 64 at BOTH core counts (data-sized — see
 protocol note), AQE on (coalescePartitions, skewJoin), Arrow enabled,

@@ -202,14 +202,32 @@ def ks_between(
     totals = joined.agg(
         F.sum("cb").cast("double").alias("tb"), F.sum("cc").cast("double").alias("tc")
     )
-    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # literal partition key: the cumsum runs over exactly n_bins+2
+    # aggregated rows, but an unpartitioned window makes Spark log a
+    # "WindowExec: No Partition Defined" scale warning that real-cluster
+    # operators would (rightly) chase — the literal documents single-
+    # partition as intended while keeping the identical result
+    w = (
+        Window.partitionBy(F.lit(0))
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     cum = joined.select(
         F.sum("cb").over(w).cast("double").alias("ccb"),
         F.sum("cc").over(w).cast("double").alias("ccc"),
     ).crossJoin(F.broadcast(totals))
+    # greatest(total, 1) mirrors the driver-side _ks_counts guard: an empty
+    # side reports ks as a real number (max |cdf| of the other side), never
+    # a NULL that silently reads as "no drift"
     return cum.agg(
         F.round(
-            F.max(F.abs(F.col("ccb") / F.col("tb") - F.col("ccc") / F.col("tc"))), 6
+            F.max(
+                F.abs(
+                    F.col("ccb") / F.greatest(F.col("tb"), F.lit(1.0))
+                    - F.col("ccc") / F.greatest(F.col("tc"), F.lit(1.0))
+                )
+            ),
+            6,
         ).alias("ks")
     ).select(F.lit(col).alias("column"), "ks")
 
@@ -266,6 +284,7 @@ def multi_sketch_counts(
     df: DataFrame,
     numeric_specs: dict[str, tuple[float, float, int]],
     cat_cols: list[str],
+    max_categories: int = 10_000,
 ) -> tuple[dict[str, list[int]], dict[str, dict[str, int]]]:
     """Sketch counts for EVERY drift column in ONE scan.
 
@@ -273,7 +292,17 @@ def multi_sketch_counts(
     array<string> and posexploded, so one pass + one agg of
     Σ(n_bins+2) + Σ|categories| groups covers the whole drift block —
     no per-column scans. Null values drop out per element (nulls are
-    tracked by the null-rate stat, not the drift sketch)."""
+    tracked by the null-rate stat, not the drift sketch).
+
+    The driver collect is BOUNDED: before collecting, a per-column group
+    count (partial+final agg over the already-aggregated counts frame,
+    ≤ one row per column) verifies every categorical column has at most
+    ``max_categories`` distinct values; a miscategorized high-cardinality
+    column (user_id, free text) raises SpecValidationError instead of
+    landing Σ|categories| rows on the driver. Bin/hash such columns into
+    a bounded numeric surrogate to put them under drift."""
+    from pysemantic_spark.errors import SpecValidationError
+
     exprs: list = []
     order: list[tuple[str, str]] = []
     for c, (lo, hi, nbins) in numeric_specs.items():
@@ -286,13 +315,34 @@ def multi_sketch_counts(
     cat: dict[str, dict[str, int]] = {c: {} for c in cat_cols}
     if not exprs:
         return hist, cat
-    rows = (
+    counts = (
         df.select(F.posexplode(F.array(*exprs)).alias("ci", "val"))
         .filter(F.col("val").isNotNull())
         .groupBy("ci", "val")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .collect()
     )
+    if cat_cols:
+        counts = counts.persist()
+        sizes = (
+            counts.groupBy("ci").agg(F.count(F.lit(1)).alias("n_distinct")).collect()
+        )
+        oversized = {
+            order[r["ci"]][1]: r["n_distinct"]
+            for r in sizes
+            if order[r["ci"]][0] == "cat" and r["n_distinct"] > max_categories
+        }
+        if oversized:
+            counts.unpersist()
+            raise SpecValidationError(
+                f"categorical drift column(s) exceed max_categories="
+                f"{max_categories}: {oversized} — a sketch must stay bounded; "
+                "hash/bin the column to a bounded numeric surrogate, or raise "
+                "`max_categories` in the drift block if the cardinality is "
+                "genuinely intended"
+            )
+    rows = counts.collect()
+    if cat_cols:
+        counts.unpersist()
     for r in rows:
         kind, c = order[r["ci"]]
         if kind == "hist":
@@ -302,7 +352,10 @@ def multi_sketch_counts(
     return hist, cat
 
 
-def build_drift_baseline(df: DataFrame, columns: list[str], n_bins: int = 64) -> dict:
+def build_drift_baseline(
+    df: DataFrame, columns: list[str], n_bins: int = 64,
+    max_categories: int = 10_000,
+) -> dict:
     """Sketch the baseline frame for the given drift columns.
 
     Numeric columns → histogram sketch with (lo, hi) = observed min/max
@@ -338,7 +391,9 @@ def build_drift_baseline(df: DataFrame, columns: list[str], n_bins: int = 64) ->
             if hi <= lo:
                 hi = lo + 1.0
             numeric_specs[c] = (float(lo), float(hi), n_bins)
-    hist, cat = multi_sketch_counts(df, numeric_specs, cats)
+    hist, cat = multi_sketch_counts(
+        df, numeric_specs, cats, max_categories=max_categories
+    )
     out: dict = {"n_bins": n_bins, "columns": {}}
     for c, (lo, hi, nbins) in numeric_specs.items():
         out["columns"][c] = {
@@ -350,13 +405,16 @@ def build_drift_baseline(df: DataFrame, columns: list[str], n_bins: int = 64) ->
 
 
 def save_drift_baseline(
-    df: DataFrame, columns: list[str], path: str, n_bins: int = 64
+    df: DataFrame, columns: list[str], path: str, n_bins: int = 64,
+    max_categories: int = 10_000,
 ) -> dict:
     """Build and atomically write the baseline sketch JSON."""
     import json
     import os
 
-    baseline = build_drift_baseline(df, columns, n_bins=n_bins)
+    baseline = build_drift_baseline(
+        df, columns, n_bins=n_bins, max_categories=max_categories
+    )
     d = os.path.dirname(path)
     if d:
         os.makedirs(d, exist_ok=True)
@@ -404,7 +462,10 @@ def spec_drift_report(df: DataFrame, drift_spec) -> pd.DataFrame:
     cat_cols = [
         c for c in drift_spec.columns if base["columns"][c]["kind"] == "cat"
     ]
-    hist, cat = multi_sketch_counts(df, numeric_specs, cat_cols)
+    hist, cat = multi_sketch_counts(
+        df, numeric_specs, cat_cols,
+        max_categories=getattr(drift_spec, "max_categories", 10_000),
+    )
     rows = []
     for c in drift_spec.columns:
         entry = base["columns"][c]

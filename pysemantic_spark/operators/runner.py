@@ -283,6 +283,27 @@ def validate(
     )
 
 
+def _violating_rows_per_bucket(viol: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Per-bucket count of DISTINCT violating rows from the violations
+    stream (one stream row per (row, failed check): a row violating 3
+    checks is still ONE violating row).
+
+    countDistinct(struct(...)) — NOT .distinct() then count — so the
+    whole computation is aggregate-shaped: partial HashAggregates map-side
+    combine before both exchanges, and every shuffle is keyed BY BUCKET
+    (plus the dedup tuple), never a bucket-less global Distinct over the
+    full violation output — at a pathological 100% violation rate that
+    distinct re-shuffled the entire dataset after the sink write. The
+    struct wrapper keeps rows with NULL key columns countable
+    (count(DISTINCT a, b) drops any-null argument tuples; a never-null
+    struct does not), matching the old distinct() set semantics exactly."""
+    return viol.groupBy(F.col(BUCKET_COL).alias("bucket")).agg(
+        F.countDistinct(F.struct(*key_cols, F.col("_row_hash"))).alias(
+            "n_violating_rows"
+        )
+    )
+
+
 def execute(
     spark: SparkSession,
     df: DataFrame,
@@ -374,13 +395,7 @@ def execute(
     metrics = obs.get
 
     # per-bucket violating-row counts from the (small) violations output
-    viol_rows_per_bucket = (
-        viol_small.select(*key_cols, "_row_hash", BUCKET_COL)
-        .distinct()  # a row violating 3 checks is still ONE violating row
-        .groupBy(F.col(BUCKET_COL).alias("bucket"))
-        .agg(F.count(F.lit(1)).alias("n_violating_rows"))
-        .toPandas()
-    )
+    viol_rows_per_bucket = _violating_rows_per_bucket(viol_small, key_cols).toPandas()
 
     # ---- pass 2: skinny aggs → bucket totals + per-key dupes ---------------
     # Bucket totals: one pruned scan of the bucket_by column only. Kept

@@ -82,12 +82,17 @@ def hyperplane_buckets_arrow(
     """All tables' LSH bucket ids in ONE Arrow-batched matmul:
     array<long> of length n_tables.
 
-    Produces bit-identical buckets to ``hyperplane_bucket`` with seed
-    ``seed + 7919*t`` for table t (same seeded planes, same sign rule),
-    but computes every (table, plane) dot product as one
-    (batch × dim) @ (dim × T·P) numpy matmul instead of T·P interpreted
-    higher-order folds per row — the expression path is not codegen'd and
-    measured ~10× slower at T·P ≳ 100."""
+    Matches ``hyperplane_bucket`` with seed ``seed + 7919*t`` for table t
+    (same seeded planes, same sign rule) up to float summation order: the
+    sequential fold and the BLAS matmul accumulate the dot product in
+    different orders, so a dot within ~1e-12 of zero can flip sign and land
+    the vector in a different bucket — harmless for LSH recall (such
+    vectors sit ON the hyperplane; either bucket is equally valid), but the
+    two paths are not guaranteed bit-identical on those measure-zero cases.
+    Computes every (table, plane) dot product as one (batch × dim) @
+    (dim × T·P) numpy matmul instead of T·P interpreted higher-order folds
+    per row — the expression path is not codegen'd and measured ~10× slower
+    at T·P ≳ 100."""
     planes = np.concatenate(
         [
             np.random.default_rng(seed + 7919 * t).standard_normal((n_planes, dim))

@@ -134,12 +134,31 @@ def _apply_nrows(df: DataFrame, spec: DatasetSpec) -> DataFrame:
     return df.limit(spec.nrows)
 
 
+# fallback patterns tried (in order) when no explicit format is declared:
+# Spark's default timestamp parse, then the pandas parse_dates part-column
+# shapes ('2021 3 7', '2021 3 7 14 5 9') that the default pattern rejects
+_COMBINE_DT_FALLBACKS = ("yyyy M d", "yyyy M d H m s")
+
+
 def _apply_combine_dt(df: DataFrame, spec: DatasetSpec) -> DataFrame:
     """Build one timestamp from several raw columns (pandas parse_dates
     list form): sources string-concatenated with a space, parsed via
     try_to_timestamp (ANSI-safe: malformed rows → NULL, surfacing through
-    null-rate / not_null checks), sources dropped."""
-    for out, srcs in (spec.combine_dt_columns or {}).items():
+    null-rate / not_null checks), sources dropped.
+
+    With an explicit ``format`` only that pattern is used; otherwise the
+    default parse plus the common part-column fallbacks are coalesced.
+    Guard against silent whole-column loss: a bounded sample (first rows
+    only, never a full scan) is checked eagerly — if every non-empty
+    combined string parses to NULL, the spec is wrong for this data and
+    the load fails loudly with a format hint instead of shipping an
+    all-NULL timestamp column."""
+    for out, decl in (spec.combine_dt_columns or {}).items():
+        fmt = None
+        srcs = decl
+        if isinstance(decl, dict):
+            srcs = decl["columns"]
+            fmt = decl.get("format")
         missing = [c for c in srcs if c not in df.columns]
         if missing:
             raise ParserArgumentError(
@@ -147,7 +166,33 @@ def _apply_combine_dt(df: DataFrame, spec: DatasetSpec) -> DataFrame:
                 f"columns {missing}"
             )
         combined = F.concat_ws(" ", *[F.col(c).cast("string") for c in srcs])
-        df = df.withColumn(out, F.try_to_timestamp(combined))
+        if fmt is not None:
+            parsed = F.try_to_timestamp(combined, F.lit(fmt))
+        else:
+            parsed = F.coalesce(
+                F.try_to_timestamp(combined),
+                *[F.try_to_timestamp(combined, F.lit(p)) for p in _COMBINE_DT_FALLBACKS],
+            )
+        probe = (
+            df.select(combined.alias("_c"), parsed.alias("_p"))
+            .filter(F.trim(F.col("_c")) != "")
+            .limit(500)
+            .agg(
+                F.count(F.lit(1)).alias("n_nonempty"),
+                F.count("_p").alias("n_parsed"),
+                F.first("_c").alias("example"),
+            )
+            .first()
+        )
+        if probe["n_nonempty"] > 0 and probe["n_parsed"] == 0:
+            raise ParserArgumentError(
+                f"{spec.name}: combine_dt_columns[{out!r}] parsed 0 of "
+                f"{probe['n_nonempty']} sampled non-empty values (example: "
+                f"{probe['example']!r}) — the whole column would be NULL. "
+                "Declare an explicit Spark datetime pattern, e.g. "
+                f"{out}: {{columns: {list(srcs)!r}, format: 'yyyy M d'}}"
+            )
+        df = df.withColumn(out, parsed)
         df = df.drop(*[c for c in srcs if c != out])
     return df
 

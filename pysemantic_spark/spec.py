@@ -104,6 +104,15 @@ class DriftSpec:
     n_bins: int = 64
     ks_threshold: float = 0.1
     psi_threshold: float = 0.2
+    # hard cap on distinct values per categorical drift column — the sketch
+    # is bounded by construction; a miscategorized high-cardinality column
+    # (user_id, free text) fails loudly instead of flooding the driver
+    max_categories: int = 10_000
+    # what execute()/run_resumable do when a drift metric crosses its
+    # threshold: "ignore" (report rows only), "fail" (raise), or
+    # "quarantine" (run_resumable marks the chunk quarantined and skips it
+    # on resume)
+    on_drift: str = "ignore"
 
 
 @dataclass
@@ -132,8 +141,10 @@ class DatasetSpec:
     # multi-column datetime combine (reference: parse_dates list-of-lists /
     # combine_dt_columns): {out_col: [src_col, ...]} — sources are
     # string-concatenated and parsed into ONE timestamp at load; source
-    # columns are dropped (pandas keep_date_col=False semantics)
-    combine_dt_columns: dict[str, list[str]] = field(default_factory=dict)
+    # columns are dropped (pandas keep_date_col=False semantics). Dict form
+    # {out_col: {"columns": [...], "format": "yyyy M d"}} pins an explicit
+    # Spark datetime pattern for the space-joined parts.
+    combine_dt_columns: dict[str, list[str] | dict] = field(default_factory=dict)
     column_rules: dict[str, ColumnRules] = field(default_factory=dict)
     # list of composite keys, e.g. [["conv_id","turn_idx"]]
     uniqueness: list[list[str]] = field(default_factory=list)
@@ -174,12 +185,26 @@ class DatasetSpec:
             raise SpecValidationError(f"ncols must be a natural number, got {self.ncols!r}")
         self.dtypes = {c: canonical_dtype(t) for c, t in (self.dtypes or {}).items()}
         for out, srcs in (self.combine_dt_columns or {}).items():
+            if isinstance(srcs, dict):
+                unknown = set(srcs) - {"columns", "format"}
+                if unknown:
+                    raise SpecValidationError(
+                        f"combine_dt_columns[{out!r}]: unknown keys {sorted(unknown)} "
+                        "(allowed: columns, format)"
+                    )
+                fmt = srcs.get("format")
+                if fmt is not None and not isinstance(fmt, str):
+                    raise SpecValidationError(
+                        f"combine_dt_columns[{out!r}].format must be a string, got {fmt!r}"
+                    )
+                srcs = srcs.get("columns")
             if not isinstance(srcs, list) or not srcs or not all(
                 isinstance(s, str) for s in srcs
             ):
                 raise SpecValidationError(
                     f"combine_dt_columns[{out!r}] must be a non-empty list of "
-                    f"source column names, got {srcs!r}"
+                    f"source column names (or {{columns: [...], format: ...}}), "
+                    f"got {srcs!r}"
                 )
         for key in self.uniqueness:
             if not isinstance(key, list) or not key:

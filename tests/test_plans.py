@@ -146,3 +146,52 @@ def test_ks_between_scans_are_pruned(spark, parts):
     # the window operates post-aggregation: it must appear above an agg of
     # the 18-row bin spine, so no Exchange of input-sized data feeds it
     assert "Window" in plan
+
+
+def test_violating_rows_per_bucket_is_agg_shaped(spark):
+    """VERDICT r2 #4: the per-bucket violating-row count must compile to
+    partial+final HashAggregates with every exchange keyed by the bucket
+    (+ dedup tuple) — never a bucket-less global Distinct of the full
+    violations output."""
+    import pandas as pd
+
+    from pysemantic_spark.operators.runner import _violating_rows_per_bucket
+
+    viol = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "k": [1, 1, 2, 3, 3, 3],
+                "_row_hash": [10, 10, 20, 30, 31, 31],
+                "_bucket": [0, 0, 1, 1, 1, 1],
+            }
+        )
+    )
+    out = _violating_rows_per_bucket(viol, ["k"])
+    got = {r["bucket"]: r["n_violating_rows"] for r in out.collect()}
+    # bucket 0: one distinct (k, hash); bucket 1: (2,20), (3,30), (3,31)
+    assert got == {0: 1, 1: 3}
+    plan = _plan(out)
+    assert "HashAggregate" in plan and "partial" in plan.lower()
+    for ln in plan.splitlines():
+        if "Exchange hashpartitioning" in ln:
+            assert "_bucket" in ln or "bucket" in ln, ln
+
+
+def test_violating_rows_per_bucket_counts_null_keys(spark):
+    """count(DISTINCT a, b) drops any-null tuples; the struct wrapper must
+    not — a violating row with a NULL key column still counts."""
+    import pandas as pd
+
+    from pysemantic_spark.operators.runner import _violating_rows_per_bucket
+
+    viol = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "k": [None, None, 5.0],
+                "_row_hash": [1, 2, 3],
+                "_bucket": [0, 0, 0],
+            }
+        )
+    )
+    out = _violating_rows_per_bucket(viol, ["k"])
+    assert out.collect()[0]["n_violating_rows"] == 3

@@ -185,3 +185,54 @@ def test_excel_without_engine_raises_parser_error(spark, tmp_path):
     spec = DatasetSpec.from_dict("x", {"path": str(p)})
     with pytest.raises(ParserArgumentError, match="openpyxl"):
         load_dataset(spark, spec)
+
+
+def test_combine_dt_part_columns_parse_via_fallback(spark, tmp_path):
+    """ADVICE r2 #1: pandas' parse_dates list form commonly combines
+    year/month/day PART columns ('2021 3 7'); the default Spark pattern
+    rejects that shape, so the reader must fall back — not silently ship
+    an all-NULL column."""
+    p = tmp_path / "parts.csv"
+    pd.DataFrame(
+        {"y": [2021, 2022], "m": [3, 11], "d": [7, 30], "x": [1, 2]}
+    ).to_csv(p, index=False)
+    spec = DatasetSpec.from_dict(
+        "parts",
+        {"path": str(p), "dtypes": {"x": "long"},
+         "combine_dt_columns": {"ts": ["y", "m", "d"]}},
+    )
+    got = load_dataset(spark, spec).toPandas().sort_values("x")
+    assert got["ts"].dt.strftime("%Y-%m-%d").tolist() == ["2021-03-07", "2022-11-30"]
+
+
+def test_combine_dt_explicit_format(spark, tmp_path):
+    p = tmp_path / "fmt.csv"
+    pd.DataFrame({"d": ["07/03/2021", "30/11/2022"], "x": [1, 2]}).to_csv(p, index=False)
+    spec = DatasetSpec.from_dict(
+        "fmt",
+        {"path": str(p), "dtypes": {"x": "long"},
+         "combine_dt_columns": {"ts": {"columns": ["d"], "format": "dd/MM/yyyy"}}},
+    )
+    got = load_dataset(spark, spec).toPandas().sort_values("x")
+    assert got["ts"].dt.strftime("%Y-%m-%d").tolist() == ["2021-03-07", "2022-11-30"]
+
+
+def test_combine_dt_all_null_raises_with_format_hint(spark, tmp_path):
+    """100%-unparseable combine output = whole-column data loss → loud
+    ParserArgumentError naming the fix, not a silent NULL column."""
+    p = tmp_path / "bad.csv"
+    pd.DataFrame({"a": ["ab~cd", "ef~gh"], "b": ["ij", "kl"]}).to_csv(p, index=False)
+    spec = DatasetSpec.from_dict(
+        "bad", {"path": str(p), "combine_dt_columns": {"ts": ["a", "b"]}}
+    )
+    with pytest.raises(ParserArgumentError, match="format"):
+        load_dataset(spark, spec)
+
+
+def test_combine_dt_dict_form_validation():
+    with pytest.raises(SpecValidationError, match="unknown keys"):
+        DatasetSpec.from_dict(
+            "t", {"combine_dt_columns": {"ts": {"columns": ["a"], "fmt": "x"}}}
+        )
+    with pytest.raises(SpecValidationError, match="combine_dt_columns"):
+        DatasetSpec.from_dict("t", {"combine_dt_columns": {"ts": {"format": "x"}}})
