@@ -4,16 +4,26 @@
                           set, fused JVM dot products via zip_with/aggregate,
                           per-query top-k. The corpus is scanned once, never
                           shuffled; only (n_queries × k) rows survive.
-- `lsh_bucketed_topk`   — scale path: random-hyperplane LSH buckets
-                          (deterministic seeded planes) so each query only
-                          scores its bucket's candidates; recall traded via
-                          n_planes/probe count.
+- `cosine_pairs_exact`  — exact all-pairs cosine ≥ threshold via BLOCKED
+                          GEMM (`mapInPandas` over block pairs): the honest
+                          brute-force baseline, and the RIGHT scale path when
+                          the threshold sits near the bulk of the cosine
+                          distribution (weak selectivity), where any LSH
+                          operating point degenerates to all-pairs anyway.
+- `lsh_bucketed_topk`   — sub-linear path: random-hyperplane LSH buckets
+                          (deterministic seeded planes, multi-table +
+                          multi-probe) so each query only scores its
+                          buckets' candidates; recall traded via
+                          n_planes/n_tables/probe count.
 - `embedding_near_dup_pairs` — near-duplicate detection: cosine ≥ threshold
-                          pairs via LSH bucket self-join.
+                          pairs via multi-table (optionally multi-probe)
+                          LSH bucket self-join + exact verify.
 
-At 100 TB the corpus side stays partition-local in all three: the only
-shuffles are on bucket ids (bounded cardinality) and the final top-k agg
-(n_queries groups).
+At 100 TB the corpus side stays partition-local in the top-k/near-dup
+paths: the only shuffles are on bucket ids (bounded cardinality) and the
+final top-k agg (n_queries groups). The blocked-GEMM path shuffles each
+vector n_blocks/2 times by construction (that IS all-pairs work); its knob
+is block size = one bounded GEMM per task.
 """
 
 from __future__ import annotations
@@ -73,6 +83,109 @@ def cosine_topk(
         scored.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= k)
         .drop("__rn")
+    )
+
+
+def cosine_arrow(a: Column, b: Column) -> Column:
+    """Vectorized cosine via one Arrow-batched pandas_udf.
+
+    The zip_with/aggregate expression path (:func:`cosine`) is interpreted
+    (higher-order functions do not codegen) — fine for n_queries × k rows,
+    ~10× too slow for the 10^6-candidate verify stages. Float caveat: numpy
+    accumulates the dot product in a different order than the sequential
+    JVM fold, so results can differ in the last ulp; do any rounding with
+    F.round on the output (Spark HALF_UP), never inside numpy (HALF_EVEN).
+    Zero-norm vectors score 0.0 (never NaN)."""
+
+    @F.pandas_udf("double")
+    def _cos(xs: pd.Series, ys: pd.Series) -> pd.Series:
+        xa = np.stack(xs.to_numpy())
+        ya = np.stack(ys.to_numpy())
+        num = np.einsum("ij,ij->i", xa, ya)
+        den = np.linalg.norm(xa, axis=1) * np.linalg.norm(ya, axis=1)
+        out = np.divide(num, den, out=np.zeros_like(num), where=den != 0)
+        return pd.Series(out)
+
+    return _cos(a, b)
+
+
+def cosine_pairs_exact(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_blocks: int = 32,
+    id_type: str = "long",
+) -> DataFrame:
+    """EXACT all-pairs cosine near-dup: (id_a, id_b, cos_sim) with
+    id_a < id_b and cos_sim ≥ threshold, via blocked GEMM.
+
+    Plan: hash-assign each vector to one of ``n_blocks`` blocks, pack each
+    block into ONE row (groupBy + collect_list), explode block b against
+    partner blocks b..n_blocks-1 (an equi-join on the partner id — no
+    cartesian), then one numpy matmul per block pair inside mapInPandas.
+    O(n²) work is inherent to exact all-pairs — the point is that every
+    task is a bounded (|block| × |block|) GEMM at BLAS speed instead of
+    interpreted per-pair folds, and no task or driver ever holds more than
+    two blocks. At 10^12 rows you size n_blocks so a block is ~tens of MB;
+    the shuffle moves each vector n_blocks/2 times (that IS the all-pairs
+    data movement, irreducible without approximation — use the LSH paths
+    when the threshold is selective enough for them to prune).
+    """
+    base = df.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int").alias("blk"),
+    )
+    packed = base.groupBy("blk").agg(
+        F.collect_list("vid").alias("ids"), F.collect_list("vec").alias("vecs")
+    )
+    left = packed.withColumn(
+        "partner", F.explode(F.sequence(F.col("blk"), F.lit(n_blocks - 1)))
+    )
+    right = packed.select(
+        F.col("blk").alias("partner"),
+        F.col("ids").alias("ids_b"),
+        F.col("vecs").alias("vecs_b"),
+    )
+    joined = left.join(right, "partner")
+    thr = float(threshold)
+
+    def score(batches):
+        for pdf in batches:
+            for row in pdf.itertuples(index=False):
+                ids_a = np.asarray(row.ids)
+                A = np.stack([np.asarray(v, dtype=np.float64) for v in row.vecs])
+                na = np.linalg.norm(A, axis=1)
+                na[na == 0] = 1.0
+                An = A / na[:, None]
+                same = row.blk == row.partner
+                if same:
+                    G = An @ An.T
+                    ii, jj = np.triu_indices(len(A), k=1)
+                    ids_b = ids_a
+                else:
+                    ids_b = np.asarray(row.ids_b)
+                    B = np.stack(
+                        [np.asarray(v, dtype=np.float64) for v in row.vecs_b]
+                    )
+                    nb = np.linalg.norm(B, axis=1)
+                    nb[nb == 0] = 1.0
+                    G = An @ (B / nb[:, None]).T
+                    ii, jj = np.unravel_index(np.arange(G.size), G.shape)
+                cos = G[ii, jj]
+                keep = cos >= thr
+                if not keep.any():
+                    continue
+                ia, ib = ids_a[ii[keep]], ids_b[jj[keep]]
+                lo, hi = np.minimum(ia, ib), np.maximum(ia, ib)
+                ok = lo != hi  # hash collisions of the same id never pair
+                yield pd.DataFrame(
+                    {"id_a": lo[ok], "id_b": hi[ok], "cos_sim": cos[keep][ok]}
+                )
+
+    return joined.mapInPandas(
+        score, schema=f"id_a {id_type}, id_b {id_type}, cos_sim double"
     )
 
 
@@ -147,43 +260,104 @@ def lsh_bucketed_topk(
     k: int = 10,
     n_planes: int = 8,
     n_probe_bits: int = 1,
+    n_tables: int = 1,
     seed: int = 42,
 ) -> DataFrame:
-    """Approximate top-k: score only corpus rows in the query's LSH
-    bucket(s), multi-probe.
+    """Approximate top-k: score only corpus rows sharing one of the
+    query's LSH buckets — multi-probe, optionally multi-table.
 
     Join on bucket id instead of crossJoin — candidate set shrinks ~2^-p
     per plane. ``n_probe_bits=1`` (standard multi-probe) also probes every
     bucket one plane-flip away: a neighbor at per-plane agreement prob q
     is found with P(≥n_planes−1 planes agree) instead of P(all agree) —
-    e.g. q=0.75, 8 planes: 0.10 → 0.37. Probes expand ONLY the broadcast
-    query side (n_planes+1 rows per query); the corpus is hashed once and
-    never shuffled. A (query, corpus) pair matches in at most one probe
-    (the corpus row has a single bucket), so no candidate dedup is needed.
-    ``n_probe_bits=0`` = exact-bucket only."""
+    e.g. q=0.75, 8 planes: 0.10 → 0.37. ``n_tables=L`` repeats that over L
+    independent plane sets (one Arrow matmul computes all L corpus buckets,
+    see :func:`hyperplane_buckets_arrow`): per-neighbor miss drops to
+    (1−p)^L. Probes expand ONLY the broadcast query side (L·(n_planes+1)
+    rows per query); the corpus is hashed once and its vectors are never
+    shuffled — candidates are (query_id, vec_id) pairs, vectors join back
+    by id for the exact scoring of candidates only.
+
+    Single-table keeps the direct bucket equi-join (a pair matches at most
+    one probe, no dedup needed); multi-table distinct()s the candidate id
+    pairs so each pair pays the exact cosine once."""
     if n_probe_bits not in (0, 1):
         raise ValueError("n_probe_bits supports 0 (single) or 1 (multi-probe)")
-    cb = corpus.select(
-        F.col(id_col).alias("vec_id"),
-        F.col(vec_col).alias("_cvec"),
-        hyperplane_bucket(F.col(vec_col), dim, n_planes, seed).alias("_bucket"),
-    )
-    qbase = hyperplane_bucket(F.col(vec_col), dim, n_planes, seed)
-    probe_exprs = [qbase]
-    if n_probe_bits == 1:
-        probe_exprs += [qbase.bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)]
-    qb = queries.select(
-        F.col(query_id_col).alias("query_id"),
-        F.col(vec_col).alias("_qvec"),
-        F.explode(F.array(*probe_exprs)).alias("_bucket"),
-    )
-    scored = cb.join(F.broadcast(qb), on="_bucket").select(
-        "query_id",
-        "vec_id",
-        F.round(cosine(F.col("_cvec"), F.col("_qvec")), 6).alias("cos_sim"),
-    )
+    if n_tables < 1:
+        raise ValueError("n_tables must be >= 1")
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("vec_id").asc()
+    )
+    if n_tables == 1:
+        cb = corpus.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).alias("_cvec"),
+            hyperplane_bucket(F.col(vec_col), dim, n_planes, seed).alias("_bucket"),
+        )
+        qbase = hyperplane_bucket(F.col(vec_col), dim, n_planes, seed)
+        probe_exprs = [qbase]
+        if n_probe_bits == 1:
+            probe_exprs += [qbase.bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)]
+        qb = queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(vec_col).alias("_qvec"),
+            F.explode(F.array(*probe_exprs)).alias("_bucket"),
+        )
+        scored = cb.join(F.broadcast(qb), on="_bucket").select(
+            "query_id",
+            "vec_id",
+            F.round(cosine(F.col("_cvec"), F.col("_qvec")), 6).alias("cos_sim"),
+        )
+        return (
+            scored.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= k)
+            .drop("__rn")
+        )
+
+    from pysemantic_spark.operators.dedup import _materialize
+
+    cb = _materialize(
+        corpus.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).alias("_cvec"),
+            hyperplane_buckets_arrow(
+                F.col(vec_col), dim, n_planes, n_tables, seed
+            ).alias("_bks"),
+        )
+    )
+    corp_buckets = cb.select(
+        "vec_id", F.posexplode("_bks").alias("_table", "_bucket")
+    )
+    q_aliased = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
+    )
+    qprobes = q_aliased.select(
+        "query_id",
+        F.posexplode(
+            hyperplane_buckets_arrow(F.col("_qvec"), dim, n_planes, n_tables, seed)
+        ).alias("_table", "_b0"),
+    )
+    probe_exprs = [F.col("_b0")]
+    if n_probe_bits == 1:
+        probe_exprs += [
+            F.col("_b0").bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)
+        ]
+    qprobes = qprobes.select(
+        "query_id", "_table", F.explode(F.array(*probe_exprs)).alias("_bucket")
+    )
+    cand = (
+        corp_buckets.join(F.broadcast(qprobes), on=["_table", "_bucket"])
+        .select("query_id", "vec_id")
+        .distinct()
+    )
+    scored = (
+        cand.join(cb.select("vec_id", "_cvec"), "vec_id")
+        .join(F.broadcast(q_aliased), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine(F.col("_cvec"), F.col("_qvec")), 6).alias("cos_sim"),
+        )
     )
     return (
         scored.withColumn("__rn", F.row_number().over(w))
@@ -200,19 +374,32 @@ def train_ivf_centroids(
     sample_size: int = 10_000,
     n_iters: int = 10,
     seed: int = 42,
+    sample_fraction: float | None = None,
 ) -> np.ndarray:
     """Coarse quantizer for IVF: k-means on a driver-side sample.
 
     At 10^9+ vectors you train on a bounded sample anyway — the centroids
     are a tiny (n_centroids × dim) model broadcast into the plan as
-    literals; only the sample ever reaches the driver."""
-    frac = min(1.0, sample_size / max(corpus.count(), 1))
-    sample = (
-        corpus.sample(fraction=frac, seed=seed)
-        .select(vec_col)
-        .toPandas()[vec_col]
-    )
+    literals; only the sample ever reaches the driver.
+
+    ONE scan, no count() pre-pass (round-2 finding: sizing the sample
+    fraction from corpus.count() paid a full extra pass before training).
+    With ``sample_fraction`` set (from table metadata / a catalog row
+    count), the sample is a Bernoulli per-partition filter capped at
+    4×sample_size; without it, a plain limit() prefix is taken — limit
+    early-terminates the scan, and for k-means seeding a prefix is
+    adequate unless the table is pathologically ordered by the embedding
+    itself (pass sample_fraction in that case)."""
+    sel = corpus.select(vec_col)
+    if sample_fraction is not None:
+        sel = sel.sample(fraction=float(sample_fraction), seed=seed)
+    sample = sel.limit(sample_size * 4).toPandas()[vec_col]
     x = np.array([np.asarray(v, dtype=np.float64) for v in sample])
+    if len(x) > sample_size:
+        sub = np.random.default_rng(seed + 1).choice(
+            len(x), size=sample_size, replace=False
+        )
+        x = x[np.sort(sub)]
     rng = np.random.default_rng(seed)
     cents = x[rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)]
     for _ in range(n_iters):
@@ -225,24 +412,50 @@ def train_ivf_centroids(
     return cents
 
 
+def _centroid_dist_exprs(vec_col: Column, centroids: np.ndarray) -> list[Column]:
+    out = []
+    for cent in centroids:
+        lit_vec = F.array(*[F.lit(float(v)) for v in cent])
+        out.append(
+            F.aggregate(
+                F.zip_with(vec_col, lit_vec, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+        )
+    return out
+
+
 def ivf_assign_expr(vec_col: Column, centroids: np.ndarray) -> Column:
     """Nearest-centroid id as a Column expr (argmin of squared L2),
     evaluated JVM-side against centroid literals."""
     best_id = F.lit(0)
     best_d = None
-    for cid, cent in enumerate(centroids):
-        lit_vec = F.array(*[F.lit(float(v)) for v in cent])
-        d = F.aggregate(
-            F.zip_with(vec_col, lit_vec, lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
+    for cid, d in enumerate(_centroid_dist_exprs(vec_col, centroids)):
         if best_d is None:
             best_d = d
         else:
             best_id = F.when(d < best_d, F.lit(cid)).otherwise(best_id)
             best_d = F.least(best_d, d)
     return best_id
+
+
+def ivf_probe_expr(
+    vec_col: Column, centroids: np.ndarray, n_probe: int
+) -> Column:
+    """The ``n_probe`` nearest centroid ids as an array<int> Column —
+    standard IVF multi-probe: a query whose true neighbors straddle a
+    cluster boundary scores the runner-up clusters too. array_sort on
+    (dist, cid) structs is deterministic (ties break by cid)."""
+    dists = F.array(
+        *[
+            F.struct(d.alias("d"), F.lit(cid).alias("c"))
+            for cid, d in enumerate(_centroid_dist_exprs(vec_col, centroids))
+        ]
+    )
+    return F.transform(
+        F.slice(F.array_sort(dists), 1, n_probe), lambda s: s["c"]
+    )
 
 
 def ivf_topk(
@@ -254,11 +467,15 @@ def ivf_topk(
     query_id_col: str = "query_id",
     k: int = 10,
     n_centroids: int = 16,
+    n_probe: int = 1,
     seed: int = 42,
 ) -> DataFrame:
-    """IVF approximate top-k: score only corpus rows in the query's coarse
-    cluster (nprobe=1). Complements the hyperplane-LSH variant; both reduce
-    the candidate set before the exact cosine scoring."""
+    """IVF approximate top-k: score only corpus rows in the query's
+    ``n_probe`` nearest coarse clusters. Complements the hyperplane-LSH
+    variant; both reduce the candidate set before the exact cosine scoring.
+    Probing expands ONLY the broadcast query side (n_probe rows per query);
+    each corpus row lives in exactly one cluster, so a (query, corpus) pair
+    matches at most once — no candidate dedup needed."""
     cents = train_ivf_centroids(
         corpus, dim, n_centroids=n_centroids, vec_col=vec_col, seed=seed
     )
@@ -274,7 +491,9 @@ def ivf_topk(
     qb = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.col(vec_col).alias("_qvec"),
-        ivf_assign_expr(F.col(vec_col), cents).alias("_cluster"),
+        F.explode(
+            ivf_probe_expr(F.col(vec_col), cents, n_probe)
+        ).alias("_cluster"),
     )
     scored = cb.join(F.broadcast(qb), on="_cluster").select(
         "query_id",
@@ -299,6 +518,7 @@ def embedding_near_dup_pairs(
     threshold: float = 0.95,
     n_planes: int = 8,
     n_tables: int = 1,
+    n_probe_bits: int = 0,
     seed: int = 42,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs (id_a < id_b, cos_sim ≥ threshold)
@@ -306,16 +526,25 @@ def embedding_near_dup_pairs(
     independent ``n_planes``-plane tables, then exact-cosine verify.
 
     Recall math (choose the operating point per target threshold): a pair
-    at angle θ agrees on one random hyperplane with prob 1−θ/π, collides in
-    one k-plane table with p = (1−θ/π)^k, and survives L tables with
-    recall = 1 − (1−p)^L. Examples:
-      cos ≥ 0.95 (θ≤18°): k=8 → p≈0.43; L=8  → recall ≈ 0.99
+    at angle θ agrees on one random hyperplane with prob q = 1−θ/π,
+    collides in one k-plane table with p = q^k, and survives L tables with
+    recall = 1 − (1−p)^L. ``n_probe_bits=1`` additionally matches pairs
+    whose signatures differ by ≤1 bit within a table (one side's buckets
+    expand to the k one-bit flips), lifting the per-table collision prob
+    to p = q^k + k·q^(k−1)(1−q) — fewer tables for equal recall. Examples:
+      cos ≥ 0.95 (θ≤18°): k=8 → p≈0.43; L=8 → recall ≈ 0.99
       cos ≥ 0.5  (θ≤60°): k=6 → p≈0.088; L=24 → recall ≈ 0.89
+      cos ≥ 0.4 (θ≤66.4°): k=8+probe → p≈0.14; L=24 → recall ≈ 0.975
     A single table (round-1 default) has recall = p — 9% at cos 0.5, which
     silently dropped most qualifying pairs. Cost: candidates are
-    distinct()'d across tables before the exact verify, so each pair pays
-    the cosine once however many tables it collides in; shuffle volume is
-    (id, 1 int bucket) per table, vectors join back only for candidates."""
+    distinct()'d across tables/probes before the exact verify, so each
+    pair pays the cosine once however many tables it collides in; shuffle
+    volume is (id, 1 int bucket) per table (×(k+1) probes on ONE side);
+    vectors join back only for candidates, and the verify cosine runs in
+    one Arrow-batched pandas_udf (:func:`cosine_arrow`), not interpreted
+    per-pair folds."""
+    if n_probe_bits not in (0, 1):
+        raise ValueError("n_probe_bits supports 0 (single) or 1 (multi-probe)")
     from pysemantic_spark.operators.dedup import _materialize
 
     base = _materialize(
@@ -332,7 +561,25 @@ def embedding_near_dup_pairs(
     bucketed = base.select(
         "_id", F.posexplode("_buckets").alias("table", "bucket")
     )
-    l, r = bucketed.alias("a"), bucketed.alias("b")
+    probed = bucketed
+    if n_probe_bits == 1:
+        # expand ONE side only: a pair with ≤1 differing plane in a table
+        # meets where the flipped probe of one side equals the other's
+        # exact bucket (flips are symmetric, so one-sided expansion covers
+        # both directions)
+        probed = base.select(
+            "_id", F.posexplode("_buckets").alias("table", "_b0")
+        ).select(
+            "_id",
+            "table",
+            F.explode(
+                F.array(
+                    F.col("_b0"),
+                    *[F.col("_b0").bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)],
+                )
+            ).alias("bucket"),
+        )
+    l, r = probed.alias("a"), bucketed.alias("b")
     cand = (
         l.join(r, on=["table", "bucket"])
         .filter(F.col("a._id") < F.col("b._id"))
@@ -346,7 +593,11 @@ def embedding_near_dup_pairs(
         .select(
             "id_a",
             "id_b",
-            F.round(cosine(F.col("vec_a"), F.col("vec_b")), 6).alias("cos_sim"),
+            cosine_arrow(F.col("vec_a"), F.col("vec_b")).alias("_raw"),
         )
-        .filter(F.col("cos_sim") >= threshold)
+        # threshold on the RAW cosine (same set semantics as
+        # cosine_pairs_exact and a `>= threshold` SQL oracle); round only
+        # for display
+        .filter(F.col("_raw") >= threshold)
+        .select("id_a", "id_b", F.round("_raw", 6).alias("cos_sim"))
     )

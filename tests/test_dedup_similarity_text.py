@@ -271,3 +271,123 @@ def test_ivf_topk_finds_identical_vector(spark, emb_df):
     assert by_q[5][0] == (5, 1.0)
     # vec 7 = 2*vec0 has identical direction → same cluster region, found
     assert any(v == 7 for v, _ in by_q[0])
+
+
+def test_cosine_pairs_exact_matches_numpy(spark, emb_df):
+    """Blocked-GEMM all-pairs equals the O(n^2) numpy oracle exactly —
+    same pair set, same cosines (to 6dp), across block-boundary splits."""
+    df, vecs = emb_df
+    vn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    g = vn @ vn.T
+    for thr in (0.5, 0.9):
+        exact = {
+            (i, j): round(float(g[i, j]), 6)
+            for i in range(len(vecs))
+            for j in range(i + 1, len(vecs))
+            if g[i, j] >= thr
+        }
+        for n_blocks in (1, 7):
+            got = {
+                (r["id_a"], r["id_b"]): r["cos_sim"]
+                for r in similarity.cosine_pairs_exact(
+                    df, threshold=thr, n_blocks=n_blocks
+                ).collect()
+            }
+            assert got.keys() == exact.keys(), (thr, n_blocks)
+            for k_, v in got.items():
+                assert v == pytest.approx(exact[k_], abs=2e-6)
+
+
+def test_cosine_arrow_matches_interpreted(spark, emb_df):
+    df, vecs = emb_df
+    pairs = df.alias("a").crossJoin(df.alias("b")).filter(
+        F.col("a.vec_id") < F.col("b.vec_id")
+    ).limit(200)
+    got = pairs.select(
+        similarity.cosine_arrow(F.col("a.embedding"), F.col("b.embedding")).alias("ca"),
+        similarity.cosine(F.col("a.embedding"), F.col("b.embedding")).alias("ci"),
+    ).collect()
+    assert len(got) == 200
+    for r in got:
+        assert r["ca"] == pytest.approx(r["ci"], abs=1e-9)
+
+
+def test_near_dup_multiprobe_recall_dominates(spark):
+    """1-bit multi-probe candidates per table are a strict superset of the
+    exact-bucket candidates, so recall at equal tables can only rise."""
+    rng = np.random.default_rng(11)
+    rows = []
+    n_pairs, dim = 80, 16
+    for i in range(n_pairs):
+        a = rng.standard_normal(dim); a /= np.linalg.norm(a)
+        o = rng.standard_normal(dim); o -= o.dot(a) * a; o /= np.linalg.norm(o)
+        theta = np.arccos(rng.uniform(0.52, 0.57))
+        b = np.cos(theta) * a + np.sin(theta) * o
+        rows.append((2 * i, [float(x) for x in a]))
+        rows.append((2 * i + 1, [float(x) for x in b]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def recall(n_probe_bits, n_tables):
+        got = similarity.embedding_near_dup_pairs(
+            df, dim=dim, threshold=0.5, n_planes=8,
+            n_tables=n_tables, n_probe_bits=n_probe_bits,
+        ).collect()
+        planted = {(r["id_a"], r["id_b"]) for r in got
+                   if r["id_b"] == r["id_a"] + 1 and r["id_a"] % 2 == 0}
+        return len(planted) / n_pairs
+
+    r0, r1 = recall(0, 6), recall(1, 6)
+    assert r1 >= r0
+    assert r1 > 0.5  # p = q^8 + 8 q^7 (1-q) ~ 0.25/table at cos .52 -> E[r1@6] ~ .82
+
+
+def test_lsh_topk_multi_table_recall_dominates_single(spark, emb_df):
+    """n_tables=L candidates ⊇ table-0 candidates (table 0 uses the same
+    seed), so per-rank cos_sim can only improve."""
+    df, _ = emb_df
+    queries = df.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+    def sims(n_tables):
+        rows = similarity.lsh_bucketed_topk(
+            df, queries, dim=8, k=5, n_planes=4, n_probe_bits=1,
+            n_tables=n_tables,
+        ).collect()
+        out = {}
+        for r in rows:
+            out.setdefault(r["query_id"], []).append(r["cos_sim"])
+        return {q: sorted(v, reverse=True) for q, v in out.items()}
+
+    single, multi = sims(1), sims(8)
+    for q, m in multi.items():
+        s_ = single.get(q, [])
+        assert len(m) >= len(s_)
+        for rank, sim in enumerate(s_):
+            assert m[rank] >= sim - 1e-9, (q, rank)
+
+
+def test_ivf_nprobe_recall_dominates(spark, emb_df):
+    """n_probe=3 candidate clusters ⊇ n_probe=1's nearest cluster, so each
+    rank's cos_sim can only improve; self-vector is always found."""
+    df, _ = emb_df
+    queries = df.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+    def sims(n_probe):
+        rows = similarity.ivf_topk(
+            df, queries, dim=8, k=5, n_centroids=4, n_probe=n_probe
+        ).collect()
+        out = {}
+        for r in rows:
+            out.setdefault(r["query_id"], []).append(r["cos_sim"])
+        return {q: sorted(v, reverse=True) for q, v in out.items()}
+
+    p1, p3 = sims(1), sims(3)
+    for q, m in p3.items():
+        s_ = p1.get(q, [])
+        assert len(m) >= len(s_)
+        for rank, sim in enumerate(s_):
+            assert m[rank] >= sim - 1e-9, (q, rank)
+        assert m[0] == pytest.approx(1.0)  # self always in own cluster

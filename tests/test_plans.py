@@ -195,3 +195,44 @@ def test_violating_rows_per_bucket_counts_null_keys(spark):
     )
     out = _violating_rows_per_bucket(viol, ["k"])
     assert out.collect()[0]["n_violating_rows"] == 3
+
+
+def test_ivf_training_is_single_scan_no_count(spark):
+    """VERDICT r2 #5: centroid training must not pay a count() pre-pass —
+    the sample job is one limit-bounded scan."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(0)
+    pdf = pd.DataFrame(
+        {"vec_id": range(300),
+         "embedding": [list(map(float, rng.standard_normal(8))) for _ in range(300)]}
+    )
+    corpus = spark.createDataFrame(pdf)
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup() or [])
+    cents = similarity.train_ivf_centroids(corpus, dim=8, n_centroids=4, sample_size=100)
+    assert cents.shape == (4, 8)
+    # exactly ONE Spark job ran for training (the limit+toPandas sample);
+    # a count() pre-pass would make it two
+    after = len(tracker.getJobIdsForGroup() or [])
+    assert after - before == 1, (before, after)
+
+
+def test_cosine_pairs_exact_block_join_is_equi(spark):
+    """The block-pair expansion joins on the partner block id (equi-join of
+    two tiny packed frames) — the n^2 work happens inside bounded GEMM
+    tasks, and the input table is scanned once."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(0)
+    pdf = pd.DataFrame(
+        {"vec_id": range(200),
+         "embedding": [list(map(float, rng.standard_normal(8))) for _ in range(200)]}
+    )
+    corpus = spark.createDataFrame(pdf)
+    out = similarity.cosine_pairs_exact(corpus, threshold=0.9, n_blocks=8)
+    plan = _plan(out)
+    assert "CartesianProduct" not in plan
+    assert "MapInPandas" in plan
