@@ -105,6 +105,7 @@ def main() -> None:
         "simhash_neardups_documents",
         "cosine_topk_embeddings",
         "embedding_neardup_pairs",
+        "embedding_neardup_exact",
         "ngram_jaccard_pairs_documents",
         "psi_drift_documents",
         "ks_drift_documents",

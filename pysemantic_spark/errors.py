@@ -27,3 +27,13 @@ class SpecValidationError(Exception):
     Plays the role of traitlets' TraitError in the reference (bad
     dictionary fixtures raise at SchemaValidator construction).
     """
+
+
+class DriftDetectedError(Exception):
+    """Raised when a drift metric crosses its threshold and the spec's
+    drift block declares ``on_drift: fail`` (north_star addition; the
+    reference has no drift checks). Carries the drifted report rows."""
+
+    def __init__(self, message: str, report=None):
+        super().__init__(message)
+        self.report = report

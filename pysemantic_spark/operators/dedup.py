@@ -227,25 +227,52 @@ def minhash_lsh_pairs(
     return out
 
 
-def simhash_fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """64-bit SimHash per doc: per-token xxhash64, bit-vote, sign → bits.
+def _band_widths(n_bits: int, n_bands: int) -> list[int]:
+    """Split n_bits into n_bands near-equal contiguous widths."""
+    base, extra = divmod(n_bits, n_bands)
+    return [base + (1 if b < extra else 0) for b in range(n_bands)]
+
+
+def simhash_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_bands: int = 4,
+    portable_hash: bool = False,
+) -> DataFrame:
+    """SimHash per doc: per-token hash, bit-vote, sign → bits.
 
     Explode tokens → for each bit position sum(±1) → assemble the long.
-    64 conditional-sum aggs, all map-side combinable. Returns (_id, simhash,
-    band0..band3: 16-bit chunks for Hamming-candidate joins)."""
+    n_bits conditional-sum aggs, all map-side combinable. Returns
+    (_id, simhash, band0..band{n_bands-1}: near-equal contiguous bit
+    chunks for Hamming-candidate joins).
+
+    ``portable_hash=False`` (scale default): 64-bit xxhash64 per token.
+    ``portable_hash=True``: 60-bit token hash from the top 15 hex digits of
+    md5 — byte-identical in any engine with md5 (DuckDB:
+    ``('0x' || substr(md5(t),1,15))::BIGINT``), so fingerprints, hamming
+    distances, and the near-dup pair set are externally verifiable
+    bit-for-bit. md5 costs more per token than xxhash64; use it when
+    cross-engine verification matters more than raw hash throughput."""
+    if portable_hash:
+        n_bits = 60
+        hash_col = F.conv(F.substring(F.md5("t"), 1, 15), 16, 10).cast("long")
+    else:
+        n_bits = 64
+        hash_col = F.xxhash64("t")
     tok = df.select(
         F.col(id_col).alias("_id"), F.explode(tokens(text_col)).alias("t")
-    ).withColumn("h", F.xxhash64("t"))
+    ).withColumn("h", hash_col)
     one = F.lit(1).cast("long")
     votes = [
         F.sum(
             F.when(F.col("h").bitwiseAND(F.shiftleft(one, i)) != 0, 1).otherwise(-1)
         ).alias(f"v{i}")
-        for i in range(64)
+        for i in range(n_bits)
     ]
     agg = tok.groupBy("_id").agg(*votes)
     fp = F.lit(0).cast("long")
-    for i in range(64):
+    for i in range(n_bits):
         # bits are disjoint → OR assembles the fingerprint without overflow
         fp = fp.bitwiseOR(
             F.when(F.col(f"v{i}") > 0, F.shiftleft(one, i)).otherwise(
@@ -253,25 +280,47 @@ def simhash_fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame
             )
         )
     out = agg.select("_id", fp.alias("simhash"))
-    for b in range(4):
+    offset = 0
+    for b, width in enumerate(_band_widths(n_bits, n_bands)):
         out = out.withColumn(
             f"band{b}",
-            F.shiftrightunsigned(F.col("simhash"), b * 16).bitwiseAND(F.lit(0xFFFF)),
+            F.shiftrightunsigned(F.col("simhash"), offset).bitwiseAND(
+                F.lit((1 << width) - 1)
+            ),
         )
+        offset += width
     return out
 
 
 def simhash_near_dup_pairs(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    n_bands: int | None = None,
+    portable_hash: bool = False,
 ) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) ≤ max_hamming.
 
-    Candidates via 16-bit band equality (pigeonhole: any pair within
-    Hamming ≤ 3 of a 64-bit hash shares at least one of 4 bands), then
-    exact popcount filter. Returns (id_a, id_b, hamming)."""
-    fps = _materialize(simhash_fingerprints(df, id_col, text_col))
+    Candidates via band equality, then exact popcount filter. Returns
+    (id_a, id_b, hamming).
+
+    ``n_bands`` defaults to ``max_hamming + 1``, which makes the banding
+    EXHAUSTIVE by pigeonhole: a pair within Hamming ≤ r differs in at most
+    r of the n_bands > r disjoint bands, so at least one band matches —
+    the output then EQUALS the exact hamming-≤r pair set of the
+    fingerprints (not a recall-lossy approximation). Fewer bands trade
+    completeness for fewer candidate collisions; the round-1 default
+    (4 × 16-bit bands) is exhaustive only up to r=3."""
+    if n_bands is None:
+        n_bands = max_hamming + 1
+    fps = _materialize(
+        simhash_fingerprints(
+            df, id_col, text_col, n_bands=n_bands, portable_hash=portable_hash
+        )
+    )
     cands = None
-    for b in range(4):
+    for b in range(n_bands):
         a, c = fps.alias("a"), fps.alias("b")
         p = (
             a.join(c, F.col(f"a.band{b}") == F.col(f"b.band{b}"))

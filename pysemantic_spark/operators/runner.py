@@ -445,6 +445,18 @@ def execute(
         from pysemantic_spark.operators.drift import spec_drift_report
 
         drift_pdf = spec_drift_report(df, plan.drift)
+        if plan.drift.on_drift == "fail" and bool(drift_pdf["drifted"].any()):
+            from pysemantic_spark.errors import DriftDetectedError
+
+            bad = drift_pdf[drift_pdf["drifted"]]
+            raise DriftDetectedError(
+                "distribution drift over threshold (on_drift: fail): "
+                + "; ".join(
+                    f"{r.column}/{r.metric}={r.value} > {r.threshold}"
+                    for r in bad.itertuples()
+                ),
+                report=drift_pdf,
+            )
 
     report = bucket_totals.merge(viol_rows_per_bucket, on="bucket", how="left")
     report["n_violating_rows"] = (

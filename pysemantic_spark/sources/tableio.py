@@ -35,7 +35,7 @@ BUCKET_PART_COL = "bucket"
 @dataclass
 class BucketEntry:
     bucket: int
-    status: str = "pending"  # pending | done | failed
+    status: str = "pending"  # pending | done | failed | quarantined
     n_rows: int = 0
     n_violating_rows: int = 0
     passed: bool | None = None
@@ -52,9 +52,18 @@ class Manifest:
     entries: dict[int, BucketEntry] = field(default_factory=dict)
 
     def pending(self) -> list[int]:
+        # quarantined buckets are parked, not retried: their data drifted
+        # past threshold and needs human/baseline action before revalidation
         return [
             b for b in range(self.n_buckets)
-            if self.entries.get(b, BucketEntry(b)).status != "done"
+            if self.entries.get(b, BucketEntry(b)).status
+            not in ("done", "quarantined")
+        ]
+
+    def quarantined(self) -> list[int]:
+        return [
+            b for b in range(self.n_buckets)
+            if self.entries.get(b, BucketEntry(b)).status == "quarantined"
         ]
 
     def to_json(self) -> str:
@@ -210,7 +219,16 @@ def run_resumable(
     manifest is atomically rewritten, so a kill loses at most one chunk of
     work. ``max_chunks`` bounds this run (used by tests to simulate a kill).
 
-    Returns {"processed": [...buckets], "skipped": [...already-done]}.
+    Drift action (spec ``drift.on_drift``): ``ignore`` records the drift
+    rows in the manifest and completes the chunk; ``quarantine`` marks the
+    chunk's buckets status="quarantined" — they are NOT revalidated on
+    resume (pending() skips them) until an operator clears the status or
+    refreshes the baseline; ``fail`` propagates DriftDetectedError from
+    execute() with the chunk left pending (at-least-once semantics: rerun
+    revalidates it).
+
+    Returns {"processed": [...buckets], "skipped": [...already-done],
+    "quarantined": [...buckets parked this or earlier runs]}.
     """
     from pysemantic_spark.operators.runner import execute
 
@@ -242,6 +260,13 @@ def run_resumable(
         wall = time.time() - t0
         report = out["partition_report"].set_index("bucket")
         stats = out["stats"].to_dict(orient="records")
+        drift_pdf = out.get("drift")
+        quarantine_chunk = (
+            getattr(getattr(spec, "drift", None), "on_drift", "ignore")
+            == "quarantine"
+            and drift_pdf is not None
+            and bool(drift_pdf["drifted"].any())
+        )
         for b in chunk:
             e = manifest.entries.get(b) or BucketEntry(b)
             if b in report.index:
@@ -252,7 +277,7 @@ def run_resumable(
                 e.n_rows = 0
                 e.n_violating_rows = 0
                 e.passed = True
-            e.status = "done"
+            e.status = "quarantined" if quarantine_chunk else "done"
             e.run_id = run_id
             e.wall_time_sec = round(wall / len(chunk), 3)
             e.input_fingerprint = io._bucket_fingerprint(b)
@@ -267,4 +292,9 @@ def run_resumable(
         io.save_manifest(manifest)
         processed.extend(chunk)
 
-    return {"processed": processed, "skipped": skipped, "run_id": run_id}
+    return {
+        "processed": processed,
+        "skipped": skipped,
+        "run_id": run_id,
+        "quarantined": manifest.quarantined(),
+    }

@@ -114,6 +114,13 @@ class DriftSpec:
     # on resume)
     on_drift: str = "ignore"
 
+    def __post_init__(self) -> None:
+        if self.on_drift not in ("ignore", "fail", "quarantine"):
+            raise SpecValidationError(
+                f"drift.on_drift must be ignore|fail|quarantine, got "
+                f"{self.on_drift!r}"
+            )
+
 
 @dataclass
 class DatasetSpec:

@@ -391,3 +391,76 @@ def test_ivf_nprobe_recall_dominates(spark, emb_df):
         for rank, sim in enumerate(s_):
             assert m[rank] >= sim - 1e-9, (q, rank)
         assert m[0] == pytest.approx(1.0)  # self always in own cluster
+
+
+def test_simhash_banding_exhaustive_at_radius(spark):
+    """n_bands = max_hamming+1 makes banding exhaustive by pigeonhole: the
+    banded pair set must EQUAL the brute-force hamming-<=r pair set of the
+    fingerprints (round-2 VERDICT #7)."""
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(40),
+            "text": [
+                f"alpha beta gamma delta {i % 5} epsilon zeta eta theta"
+                for i in range(40)
+            ],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    r = 8
+    fps = {
+        row["_id"]: row["simhash"]
+        for row in dedup.simhash_fingerprints(
+            df, "doc_id", "text", n_bands=r + 1
+        ).collect()
+    }
+    mask = (1 << 64) - 1  # fingerprints are signed 64-bit longs
+    exact = {
+        (a, b)
+        for a in fps
+        for b in fps
+        if a < b and bin((fps[a] ^ fps[b]) & mask).count("1") <= r
+    }
+    got = {
+        (row["id_a"], row["id_b"])
+        for row in dedup.simhash_near_dup_pairs(
+            df, "doc_id", "text", max_hamming=r
+        ).collect()
+    }
+    assert got == exact and len(exact) > 0
+
+
+def test_simhash_portable_hash_matches_duckdb(spark):
+    """The portable 60-bit md5 token hash must be byte-identical in DuckDB
+    (the cross-engine verification contract of portable_hash=True)."""
+    import duckdb
+
+    texts = ["hello world", "wörld ünïcode", "a b c d e"]
+    pdf = pd.DataFrame({"doc_id": range(3), "text": texts})
+    spark_fps = {
+        r["_id"]: r["simhash"]
+        for r in dedup.simhash_fingerprints(
+            spark.createDataFrame(pdf), "doc_id", "text", portable_hash=True
+        ).collect()
+    }
+    votes = ", ".join(
+        f"sum(case when (hv >> {i}) & 1 = 1 then 1 else -1 end) as v{i}"
+        for i in range(60)
+    )
+    fp = " + ".join(
+        f"(case when v{i} > 0 then (1::BIGINT << {i}) else 0 end)"
+        for i in range(60)
+    )
+    con = duckdb.connect()
+    con.register("docs", pdf)
+    duck_fps = dict(
+        con.execute(
+            f"""WITH tok AS (SELECT doc_id,
+                    unnest(string_split_regex(trim(text), '\\s+')) AS t
+                FROM docs WHERE trim(text) <> ''),
+            h AS (SELECT doc_id, ('0x' || substr(md5(t),1,15))::BIGINT hv FROM tok),
+            v AS (SELECT doc_id, {votes} FROM h GROUP BY doc_id)
+            SELECT doc_id, {fp} FROM v"""
+        ).fetchall()
+    )
+    assert spark_fps == duck_fps

@@ -151,3 +151,80 @@ def test_icebergio_fails_loudly_without_runtime(spark):
         io.write_bucketed(None, "conv_id", 16)
     with _pytest.raises(RuntimeError, match="iceberg-spark-runtime"):
         io.read_buckets(spark, [0])
+
+
+def test_execute_on_drift_fail_raises(spark, tmp_path):
+    """drift.on_drift: fail → execute raises DriftDetectedError carrying
+    the report when any metric crosses its threshold."""
+    import pandas as pd
+    import numpy as np
+
+    from pysemantic_spark.errors import DriftDetectedError
+    from pysemantic_spark.operators.drift import save_drift_baseline
+    from pysemantic_spark.operators.runner import execute
+    from pysemantic_spark.spec import DatasetSpec
+
+    rng = np.random.default_rng(5)
+    base = spark.createDataFrame(
+        pd.DataFrame({"v": rng.normal(100, 10, 5000), "k": range(5000)})
+    )
+    shifted = spark.createDataFrame(
+        pd.DataFrame({"v": rng.normal(160, 10, 5000), "k": range(5000)})
+    )
+    bl = str(tmp_path / "bl.json")
+    save_drift_baseline(base, ["v"], bl)
+    spec = DatasetSpec.from_dict(
+        "t",
+        {"drift": {"columns": ["v"], "baseline": bl, "on_drift": "fail"}},
+    )
+    with pytest.raises(DriftDetectedError) as exc:
+        execute(spark, shifted, spec, bucket_by="k", n_buckets=4)
+    assert exc.value.report is not None
+    assert bool(exc.value.report["drifted"].any())
+    # ignore (default) completes and reports the same rows
+    ok = DatasetSpec.from_dict(
+        "t", {"drift": {"columns": ["v"], "baseline": bl}}
+    )
+    out = execute(spark, shifted, ok, bucket_by="k", n_buckets=4)
+    assert bool(out["drift"]["drifted"].any())
+
+
+def test_run_resumable_quarantines_drifted_chunk(spark, tmp_path):
+    """VERDICT r2 #9: on_drift: quarantine parks the drifted chunk's
+    buckets (status=quarantined, recorded drift rows) and a rerun SKIPS
+    them instead of revalidating."""
+    import pandas as pd
+    import numpy as np
+
+    from pysemantic_spark.operators.drift import save_drift_baseline
+    from pysemantic_spark.spec import DatasetSpec
+
+    rng = np.random.default_rng(6)
+    base = spark.createDataFrame(
+        pd.DataFrame({"v": rng.normal(100, 10, 4000), "k": range(4000)})
+    )
+    shifted = spark.createDataFrame(
+        pd.DataFrame({"v": rng.normal(170, 10, 4000), "k": range(4000)})
+    )
+    bl = str(tmp_path / "bl.json")
+    save_drift_baseline(base, ["v"], bl)
+    spec = DatasetSpec.from_dict(
+        "t",
+        {
+            "column_rules": {"v": {"min": 0.0}},
+            "drift": {"columns": ["v"], "baseline": bl,
+                      "on_drift": "quarantine"},
+        },
+    )
+    io = ParquetManifestIO(str(tmp_path / "tbl"))
+    io.write_bucketed(shifted, "k", 4)
+    first = run_resumable(spark, io, spec, chunk_size=4)
+    assert sorted(first["quarantined"]) == [0, 1, 2, 3]
+    m = io.load_manifest()
+    assert m.pending() == []  # parked, not retried
+    assert all(e.status == "quarantined" for e in m.entries.values())
+    # drift evidence rides the manifest
+    assert any("drift" in e.stats for e in m.entries.values())
+    second = run_resumable(spark, io, spec, chunk_size=4)
+    assert second["processed"] == []
+    assert sorted(second["quarantined"]) == [0, 1, 2, 3]
