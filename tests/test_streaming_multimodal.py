@@ -122,3 +122,62 @@ def test_frame_sample_plan(spark, media_df):
 def test_real_decoder_seam():
     with pytest.raises(NotImplementedError):
         mm.real_decode_unavailable(b"...")
+
+
+def test_windowed_drift_sketch_stream_matches_batch(spark, tmp_path):
+    """Streaming drift: the per-window sketch stream scored by
+    drift_rows_report must reproduce the BATCH spec-drift metrics exactly
+    when all data falls in one window (same formulas, same baseline)."""
+    from pysemantic_spark.operators.drift import (
+        load_drift_baseline,
+        save_drift_baseline,
+        spec_drift_report,
+    )
+    from pysemantic_spark.spec import DatasetSpec
+
+    rng = np.random.default_rng(9)
+    n = 4000
+    base_pdf = pd.DataFrame(
+        {
+            "v": rng.normal(100, 15, n),
+            "cat": rng.choice(["a", "b", "c"], n),
+            "ts": pd.Timestamp("2024-01-01 00:00:30"),
+        }
+    )
+    cur_pdf = base_pdf.copy()
+    cur_pdf["v"] = rng.normal(130, 15, n)  # shifted → drift
+    bl_path = str(tmp_path / "bl.json")
+    save_drift_baseline(
+        spark.createDataFrame(base_pdf[["v", "cat"]]), ["v", "cat"], bl_path
+    )
+    baseline = load_drift_baseline(bl_path)
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(cur_pdf).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    sk = vs.windowed_drift_sketch(
+        stream, baseline, ["v", "cat"], ts_col="ts", window="1 minute"
+    )
+    q = (
+        sk.writeStream.format("memory").queryName("driftsk")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.processAllAvailable(); q.stop()
+    rows = spark.sql("select * from driftsk").collect()
+    assert len(rows) > 0
+    assert len({(r["window_start"], r["window_end"]) for r in rows}) == 1
+
+    got = vs.drift_rows_report(rows, baseline).set_index(["column", "metric"])
+    spec = DatasetSpec.from_dict(
+        "t", {"drift": {"columns": ["v", "cat"], "baseline": bl_path}}
+    )
+    exp = spec_drift_report(
+        spark.createDataFrame(cur_pdf[["v", "cat"]]), spec.drift
+    ).set_index(["column", "metric"])
+    assert sorted(got.index) == sorted(exp.index)
+    for idx in exp.index:
+        assert got.loc[idx, "value"] == exp.loc[idx, "value"], idx
+        assert got.loc[idx, "drifted"] == exp.loc[idx, "drifted"], idx
+    assert bool(got.loc[("v", "psi"), "drifted"])
+    assert not bool(got.loc[("cat", "psi"), "drifted"])
