@@ -107,6 +107,8 @@ def main() -> None:
         "embedding_neardup_pairs",
         "embedding_neardup_exact",
         "ngram_jaccard_pairs_documents",
+        "lsh_topk_embeddings",
+        "ivf_topk_embeddings",
         "psi_drift_documents",
         "ks_drift_documents",
         "spec_drift_documents",
