@@ -1,16 +1,19 @@
 """Two-cluster-size scaling evidence (BASELINE.md protocol).
 
 The north_rule's N vs 4N executor criterion, evidenced in-sandbox by running
-the SAME validation job on the SAME input at local[8] and local[32]:
+the SAME validation job on the SAME input at two cluster sizes —
+default (SCALING_MODE=executors): local-cluster[1,2,m] vs
+local-cluster[4,2,m], i.e. 1 executor JVM vs 4 executor JVMs of 2 cores
+each; SCALING_MODE=threads reproduces the round-1/2 single-JVM
+local[8]-vs-local[32] protocol (no longer measurable on this sandbox —
+see _master_for):
 
     python bench_scaling.py            # orchestrates both, writes BENCH/BASELINE.md
     python bench_scaling.py --cores 8  # single measurement (subprocess mode)
 
 Protocol: deterministic transcripts table (seed 42, skewed: one conversation
-holds ~1% of rows), sized so the 8-core run takes ≥ 60 s; 1 warmup + 3 timed
-runs per core count, median reported; efficiency = T8 / (4 × T32) ≥ 0.8.
-Each core count runs in its own process (fresh JVM) — cluster analog: fresh
-executor pool per size.
+holds ~1% of rows), sized so the N run takes ≥ 60 s; warmup + timed runs
+per size, interleaved fresh processes; efficiency = T_N / (4 × T_4N) ≥ 0.8.
 """
 
 from __future__ import annotations
@@ -47,6 +50,34 @@ def ensure_data() -> None:
         )
 
 
+def _master_for(cores: int) -> str:
+    """Translate a total-core budget into the measured master URL.
+
+    SCALING_MODE=executors (default): ``local-cluster[n_exec, 2, mem]`` —
+    SEPARATE executor JVM processes with 2 cores each, the direct in-sandbox
+    analog of the north_rule's "N and 4N executors" (cores=2 → 1 executor,
+    cores=8 → 4 executors). Round-3 host forensics made this the default:
+    the sandbox began capping the sustained CPU of any single process at a
+    few effective cores (one JVM: local[8] 33s, local[16] 64s, local[32]
+    154s on the SAME job — more threads, less throughput; the round-2
+    commit rerun unchanged measured 167s where round 2 recorded 8.7s), so
+    thread-count scaling inside one JVM now measures the container, not the
+    engine, while separate processes still parallelize (32-process spin
+    test: ~16 effective cores). Multi-executor mode is also the more
+    faithful cluster analog: per-executor memory, real shuffle transport,
+    serialized task dispatch.
+
+    SCALING_MODE=threads: the round-1/2 single-JVM ``local[cores]``.
+    """
+    mode = os.environ.get("SCALING_MODE", "executors")
+    if mode == "threads":
+        return f"local[{cores}]"
+    cores_per = int(os.environ.get("SCALING_EXEC_CORES", "2"))
+    n_exec = max(1, cores // cores_per)
+    mem_mb = int(os.environ.get("SCALING_EXEC_MEM_MB", "8192"))
+    return f"local-cluster[{n_exec},{cores_per},{mem_mb}]"
+
+
 def measure(cores: int) -> dict:
     from pysemantic_spark.fixtures import transcripts_spec
     from pysemantic_spark.operators.runner import execute
@@ -67,8 +98,12 @@ def measure(cores: int) -> dict:
     extra = {}
     if os.environ.get("SCALING_MAX_PART"):
         extra["spark.sql.files.maxPartitionBytes"] = os.environ["SCALING_MAX_PART"]
+    master = _master_for(cores)
+    if master.startswith("local-cluster"):
+        mem_mb = master.rstrip("]").split(",")[-1]
+        extra["spark.executor.memory"] = f"{mem_mb}m"
     spark = get_spark(
-        app_name=f"scaling_{cores}", master=f"local[{cores}]",
+        app_name=f"scaling_{cores}", master=master,
         shuffle_partitions=shuffle,
         extra_conf=extra,
     )
@@ -103,6 +138,35 @@ def measure(cores: int) -> dict:
     }
 
 
+def _spin(_):
+    t0 = time.time()
+    x = 0
+    for i in range(60_000_000):
+        x += i
+    return time.time() - t0
+
+
+def host_calibration() -> dict:
+    """Measure the sandbox's EFFECTIVE parallelism right now with an
+    ALU-bound multiprocess spin (1 vs 8 vs 16 workers) and record it next
+    to every scaling figure: the host's delivered cores drift between (and
+    within) sessions — the identical round-2 commit measured 8.67 s in the
+    round-2 session and 167.7 s in round 3's — so a scaling ratio is only
+    interpretable alongside the parallelism the host actually delivered
+    while it was measured."""
+    import multiprocessing as mp
+
+    out = {}
+    for workers in (1, 8, 16):
+        t0 = time.time()
+        with mp.Pool(workers) as pool:
+            times = pool.map(_spin, range(workers))
+        wall = time.time() - t0
+        out[f"spin_{workers}p_wall_sec"] = round(wall, 2)
+        out[f"spin_{workers}p_speedup"] = round(workers * min(times) / wall, 1)
+    return out
+
+
 def main() -> None:
     if "--cores" in sys.argv:
         cores = int(sys.argv[sys.argv.index("--cores") + 1])
@@ -118,13 +182,17 @@ def main() -> None:
     # ~20 min of continuous benching, and recovered after idling). Ordering
     # + cool-down keeps each phase inside the unthrottled window.
     cooldown = int(os.environ.get("SCALING_COOLDOWN", "60"))
-    # N and 4N parallelism levels, default 8→32 (the full in-sandbox analog
-    # of the north_rule's N vs 4N executor pair). The sandbox host throttles
-    # vCPUs hard after sustained full-machine load (8.6s → 216s observed),
-    # so schedule this in a quiet window; override with e.g.
-    # SCALING_CORES="2,8" to stay below the 32-core ceiling on busy hosts.
+    # N and 4N total-core budgets. Executors mode (default): "2,8" → 1
+    # executor vs 4 executors of 2 cores each — the north_rule's N vs 4N
+    # executor pair as separate JVM processes (see _master_for for why
+    # thread-count scaling inside one JVM stopped being measurable on this
+    # host). Threads mode: "8,32" reproduces the round-1/2 single-JVM
+    # protocol; schedule it in a quiet window.
+    default_pair = (
+        "8,32" if os.environ.get("SCALING_MODE") == "threads" else "2,8"
+    )
     n_small, n_big = (
-        int(x) for x in os.environ.get("SCALING_CORES", "8,32").split(",")
+        int(x) for x in os.environ.get("SCALING_CORES", default_pair).split(",")
     )
     assert n_big == 4 * n_small, "north_rule compares N vs 4N"
     # ALTERNATE the two configs (4N, N, 4N, N, …), one fresh JVM per run:
@@ -173,6 +241,10 @@ def main() -> None:
     report = {
         "n_cores": n_small,
         "big_cores": n_big,
+        "host_calibration": host_calibration(),
+        "mode": os.environ.get("SCALING_MODE", "executors"),
+        "master_n": _master_for(n_small),
+        "master_4n": _master_for(n_big),
         "local_n": results[n_small],
         "local_4n": results[n_big],
         "scaling_efficiency": round(eff_min, 3),
@@ -193,9 +265,11 @@ def _write_md(r: dict) -> None:
     md = f"""# BENCH/BASELINE — cluster-size scaling evidence
 
 North_rule criterion: throughput scaling efficiency ≥ 0.8 between N and 4N
-executors. Sandbox substitute (BASELINE.md protocol): same job, same input,
-local[{n}] (N) vs local[{b}] (4N), fresh JVM each, warmups + timed runs,
-median.
+executors. Sandbox analog (BASELINE.md protocol): same job, same input,
+`{r['master_n']}` (N) vs `{r['master_4n']}` (4N), fresh processes each
+run, warmups + timed runs. Mode `{r['mode']}`: separate executor JVMs
+(local-cluster) are the direct stand-in for the N/4N executor pools —
+and, since round 3, the only mode the sandbox can measure (see note 4).
 
 Protocol notes (round 2, both found by measurement):
 
@@ -218,6 +292,18 @@ Protocol notes (round 2, both found by measurement):
 3. **Input splits are data-sized** (`files.maxPartitionBytes=16m`, 2-4
    tasks/core at 4N) so the scan never has fewer tasks than cores —
    standard cluster practice; the 4N config is otherwise idle-tailed.
+4. **Round-3 host forensics — why executor mode**: between rounds the
+   sandbox began capping the sustained CPU of any single process at a few
+   effective cores. Evidence, all on the same 30M-row job and input:
+   single-JVM local[8] = 33.5 s, local[16] = 64.0 s, local[32] = 153.7 s
+   (more threads, LESS throughput); the UNCHANGED round-2 commit, rerun in
+   a worktree, measured 167.7 s on the same local[32] measurement that
+   round 2 recorded at 8.67 s; meanwhile a 32-process spin test still
+   reached ~16 effective cores. Thread-count scaling inside one JVM
+   therefore measures the container, not the engine. local-cluster
+   executor scaling (separate JVM processes, 2 cores each) stays inside
+   the per-process cap on both sides of the ratio and is the closer
+   analog of the north_rule's N vs 4N executor pools in the first place.
 
 **Job**: full trait-spec validation suite (dtype/null/range/regex/levels ×
 fused single-pass bitmap, referential broadcast anti-join vs dim_tools,
@@ -229,8 +315,8 @@ violations written to parquet.
 
 | config | median sec | min sec | runs (warmups excluded) | turns/sec (median) |
 |---|---|---|---|---|
-| local[{n}]  (N)  | {r['local_n']['median_sec']} | {r['local_n']['min_sec']} | {r['local_n']['runs_sec']} | {r['local_n']['turns_per_sec']:,} |
-| local[{b}] (4N) | {r['local_4n']['median_sec']} | {r['local_4n']['min_sec']} | {r['local_4n']['runs_sec']} | {r['local_4n']['turns_per_sec']:,} |
+| {r['master_n']}  (N)  | {r['local_n']['median_sec']} | {r['local_n']['min_sec']} | {r['local_n']['runs_sec']} | {r['local_n']['turns_per_sec']:,} |
+| {r['master_4n']} (4N) | {r['local_4n']['median_sec']} | {r['local_4n']['min_sec']} | {r['local_4n']['runs_sec']} | {r['local_4n']['turns_per_sec']:,} |
 
 **Scaling efficiency (min) = T_N(min) / (4 × T_4N(min)) =
 {r['scaling_efficiency_min']}** (target ≥ {r['target']}:
@@ -240,6 +326,9 @@ unthrottled capability; medians measure the host's duty cycle).
 Median-based figure, always reported alongside:
 {r['scaling_efficiency_median']}
 ({"PASS" if r['passed_median'] else "FAIL"}).
+
+Host calibration at measurement time (ALU-bound multiprocess spin —
+delivered parallelism, see protocol note 4): {r['host_calibration']}
 
 Spark conf: shuffle.partitions = 64 at BOTH core counts (data-sized — see
 protocol note), AQE on (coalescePartitions, skewJoin), Arrow enabled,
