@@ -604,8 +604,10 @@ _NEARDUP_EXACT_SQL = """
 def _topk_gate_sql(bound_note: str) -> str:
     """Oracle for the ANN recall-gate queries: the exact k-th cosine per
     query is engine-recomputable; recall_ok is the gate the (deterministic,
-    seed-literal) ANN result must clear — {bound_note}."""
-    return """
+    seed-literal) ANN result must clear (documented per query via
+    ``bound_note``, e.g. 'recall@5 >= 0.6 per query')."""
+    return f"""
+        -- ANN gate: {bound_note}""" + """
         WITH q AS (
             SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
             FROM embeddings WHERE vec_id < 5

@@ -121,3 +121,45 @@ def test_string_rules_equal_pandas_oracle(spark, rules, values):
     got = sorted(r["k"] for r in res.clean.select("k").collect())
     exp = sorted(pandas_oracle(pdf, spec, {})["clean"]["k"].tolist())
     assert got == exp
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    n=st.integers(min_value=2, max_value=60),
+    dim=st.integers(min_value=2, max_value=24),
+    n_blocks=st.integers(min_value=1, max_value=9),
+    thr=st.floats(min_value=-0.5, max_value=0.99),
+    seed=st.integers(min_value=0, max_value=2**20),
+)
+def test_cosine_pairs_exact_property(spark, n, dim, n_blocks, thr, seed):
+    """Blocked-GEMM all-pairs equals the numpy O(n^2) oracle for ANY
+    (n, dim, block count, threshold): same pair set, cosines to 1e-9."""
+    import numpy as np
+    import pandas as pd
+
+    from pysemantic_spark.operators import similarity
+
+    rng = np.random.default_rng(seed)
+    vecs = rng.standard_normal((n, dim))
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {"vec_id": range(n), "embedding": [list(map(float, v)) for v in vecs]}
+        )
+    )
+    vn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    g = vn @ vn.T
+    exact = {
+        (i, j): float(g[i, j])
+        for i in range(n)
+        for j in range(i + 1, n)
+        if g[i, j] >= thr
+    }
+    got = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in similarity.cosine_pairs_exact(
+            df, threshold=thr, n_blocks=n_blocks
+        ).collect()
+    }
+    assert got.keys() == exact.keys()
+    for k_, v in got.items():
+        assert abs(v - exact[k_]) < 1e-9
