@@ -334,8 +334,18 @@ def execute(
     lazy handle.
     """
     import dataclasses
+    import time as _time
 
     import pandas as pd
+
+    _t0 = _time.time()
+    _timings: dict[str, float] = {}
+
+    def _mark(name: str) -> None:
+        nonlocal _t0
+        now = _time.time()
+        _timings[name] = round(now - _t0, 3)
+        _t0 = now
 
     plan = spec if isinstance(spec, CheckPlan) else compile_spec(spec)
     if bucket_by is None:
@@ -386,6 +396,7 @@ def execute(
             row_hash,
         )
     )
+    _mark("compile_and_plan")
     if violations_sink:
         viol.write.format(sink_format).mode("overwrite").save(violations_sink)
         viol_small = spark.read.format(sink_format).load(violations_sink)
@@ -393,9 +404,11 @@ def execute(
         viol_small = viol.persist()
         viol_small.count()  # force the pass
     metrics = obs.get
+    _mark("pass1_violations_write")
 
     # per-bucket violating-row counts from the (small) violations output
     viol_rows_per_bucket = _violating_rows_per_bucket(viol_small, key_cols).toPandas()
+    _mark("viol_rows_per_bucket")
 
     # ---- pass 2: skinny aggs → bucket totals + per-key dupes ---------------
     # Bucket totals: one pruned scan of the bucket_by column only. Kept
@@ -410,6 +423,7 @@ def execute(
         .agg(F.count(F.lit(1)).alias("n_rows"))
         .toPandas()
     )
+    _mark("bucket_totals")
     # Duplicate-key groups for ALL declared keys (composite `uniqueness`
     # entries and per-column is_drop_duplicates alike), unioned. The result
     # is written to a sink, NEVER toPandas()'d: on a 10^12-row table with
@@ -435,6 +449,7 @@ def execute(
         else:
             dupes = dupes.persist()
         n_dup_keys = dupes.count()
+    _mark("dupes_pass")
 
     # ---- drift: spec-declared distribution checks vs the baseline sketch --
     # One extra fused scan over ONLY the drift columns (all columns' bins
@@ -499,6 +514,10 @@ def execute(
         "dupes_path": dupes_path,
         "drift": drift_pdf,
         "violations_path": violations_sink,
+        # wall-clock per phase (driver-observed) — the scaling protocol
+        # uses this to attribute serial overhead (commits, driver
+        # round-trips) separately from the parallelizable passes
+        "timings": _timings,
     }
 
 

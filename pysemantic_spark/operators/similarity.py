@@ -173,7 +173,13 @@ def cosine_pairs_exact(
                     nb[nb == 0] = 1.0
                     G = An @ (B / nb[:, None]).T
                     ii, jj = np.unravel_index(np.arange(G.size), G.shape)
-                cos = G[ii, jj]
+                # threshold on the ROUND-6 value (emitted as-is): the
+                # membership decision is then insensitive to sub-5e-7
+                # accumulation-order differences vs any verifying engine
+                # (DuckDB sums in a different order; raw-value thresholds
+                # are 1-ulp-fragile at the boundary) — the SQL oracle
+                # applies round(...,6) >= threshold identically
+                cos = np.round(G[ii, jj], 6)
                 keep = cos >= thr
                 if not keep.any():
                     continue
@@ -395,6 +401,15 @@ def train_ivf_centroids(
         sel = sel.sample(fraction=float(sample_fraction), seed=seed)
     sample = sel.limit(sample_size * 4).toPandas()[vec_col]
     x = np.array([np.asarray(v, dtype=np.float64) for v in sample])
+    # canonicalize the sample ORDER driver-side (lexicographic on vector
+    # values): limit()/toPandas() row order follows partition layout and
+    # scheduling, so without this the k-means seeding — and therefore the
+    # centroids and any recall gate downstream — could flap on a repartition
+    # even with identical sample CONTENTS. After the sort, centroids are a
+    # pure function of the sampled set. O(sample·log·dim) on ≤4·sample_size
+    # driver rows — negligible next to the k-means iterations themselves.
+    if len(x):
+        x = x[np.lexsort(x.T[::-1])]
     if len(x) > sample_size:
         sub = np.random.default_rng(seed + 1).choice(
             len(x), size=sample_size, replace=False
@@ -595,9 +610,10 @@ def embedding_near_dup_pairs(
             "id_b",
             cosine_arrow(F.col("vec_a"), F.col("vec_b")).alias("_raw"),
         )
-        # threshold on the RAW cosine (same set semantics as
-        # cosine_pairs_exact and a `>= threshold` SQL oracle); round only
-        # for display
-        .filter(F.col("_raw") >= threshold)
+        # threshold on the ROUND-6 cosine (same set semantics as
+        # cosine_pairs_exact; the SQL oracle thresholds round(...,6) too),
+        # so boundary membership is insensitive to sub-5e-7 accumulation-
+        # order differences between engines
         .select("id_a", "id_b", F.round("_raw", 6).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
     )

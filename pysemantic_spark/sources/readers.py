@@ -29,6 +29,15 @@ from pysemantic_spark.errors import ParserArgumentError
 from pysemantic_spark.plans.compiler import spark_type
 from pysemantic_spark.spec import DatasetSpec
 
+def normalize_ws(s: pd.Series) -> pd.Series:
+    """Collapse internal whitespace runs and strip — the canonical example
+    of a module-level converter reachable from a spec file by dotted path
+    (``converters: ["pysemantic_spark.sources.readers:normalize_ws"]``).
+    Module-level (not a lambda) so pickling is by reference and any
+    executor that can import the package can run it."""
+    return s.str.replace(r"\s+", " ", regex=True).str.strip()
+
+
 # named converter registry: YAML references converters by name; the engine
 # resolves them here (arbitrary callables can't live in YAML safely)
 CONVERTER_REGISTRY: dict[str, Callable[[pd.Series], pd.Series]] = {
@@ -36,11 +45,46 @@ CONVERTER_REGISTRY: dict[str, Callable[[pd.Series], pd.Series]] = {
     "lower": lambda s: s.str.lower(),
     "upper": lambda s: s.str.upper(),
     "abs": lambda s: s.abs(),
+    "normalize_ws": normalize_ws,
 }
 
 
 def register_converter(name: str, fn: Callable[[pd.Series], pd.Series]) -> None:
     CONVERTER_REGISTRY[name] = fn
+
+
+def resolve_converter(name: str) -> Callable[[pd.Series], pd.Series]:
+    """Registry lookup, with a ``module.sub:function`` dotted-path escape.
+
+    The reference's converters are arbitrary YAML-referenced callables
+    (SURVEY §2.2 C10, SchemaValidator.converters ≈L140). The registry is
+    the safe default; the dotted path lets a spec-file-only user reference
+    their own vectorized Series→Series function without touching engine
+    code — resolved at COMPILE time so a typo fails the spec, not a task.
+    The resolved callable must still be importable on executors (ship it
+    with --py-files), same contract as any pandas_udf."""
+    if name in CONVERTER_REGISTRY:
+        return CONVERTER_REGISTRY[name]
+    if ":" in name:
+        mod_name, _, fn_name = name.partition(":")
+        import importlib
+
+        try:
+            mod = importlib.import_module(mod_name)
+        except ImportError as e:
+            raise ParserArgumentError(
+                f"converter {name!r}: cannot import module {mod_name!r} ({e})"
+            ) from None
+        fn = getattr(mod, fn_name, None)
+        if not callable(fn):
+            raise ParserArgumentError(
+                f"converter {name!r}: {mod_name!r} has no callable {fn_name!r}"
+            )
+        return fn
+    raise ParserArgumentError(
+        f"unknown converter {name!r} (not registered; dotted 'module:function' "
+        f"paths are accepted)"
+    )
 
 
 # named DataFrame→DataFrame postprocessors (reference: df-level
@@ -329,11 +373,10 @@ def _apply_casts(df: DataFrame, spec: DatasetSpec) -> DataFrame:
 def _apply_converters(df: DataFrame, spec: DatasetSpec) -> DataFrame:
     for col, rules in spec.column_rules.items():
         for name in rules.converters:
-            if name not in CONVERTER_REGISTRY:
-                raise ParserArgumentError(
-                    f"{spec.name}: unknown converter {name!r} for column {col!r}"
-                )
-            fn = CONVERTER_REGISTRY[name]
+            try:
+                fn = resolve_converter(name)
+            except ParserArgumentError as e:
+                raise ParserArgumentError(f"{spec.name}: column {col!r}: {e}") from None
             dtype = df.schema[col].dataType
 
             udf = F.pandas_udf(fn, returnType=dtype)

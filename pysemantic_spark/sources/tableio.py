@@ -234,7 +234,15 @@ def run_resumable(
 
     manifest = io.load_manifest()
     pending = manifest.pending()
-    skipped = [b for b in range(manifest.n_buckets) if b not in pending]
+    # skipped = verifiably DONE buckets only; quarantined buckets are
+    # parked-for-drift, reported separately (disjoint from skipped) so a
+    # caller counting skipped as completed never counts drifted data
+    skipped = [
+        b
+        for b in range(manifest.n_buckets)
+        if manifest.entries.get(b) is not None
+        and manifest.entries[b].status == "done"
+    ]
     run_id = uuid.uuid4().hex[:12]
     violations_dir = violations_dir or os.path.join(io.root, "violations")
 

@@ -36,6 +36,45 @@ _DTYPE_ALIASES: dict[Any, str] = {
 }
 
 
+class _LegacySpecLoader(yaml.SafeLoader):
+    """SafeLoader + the ONE unsafe-looking construct real pysemantic data
+    dictionaries use: ``!!python/name:`` dtype tags.
+
+    The reference's dictionaries declare dtypes as Python type OBJECTS
+    (``dtypes: {species: !!python/name:__builtin__.str}`` — SURVEY §1.1,
+    SchemaValidator.dtypes), which plain safe_load rejects with a
+    ConstructorError at the first line of any ported dictionary. We
+    whitelist exactly the types the dtype alias table accepts — builtins
+    str/int/float/bool (py2 ``__builtin__`` and py3 ``builtins`` module
+    spellings) and datetime.date/datetime — and keep everything else
+    (arbitrary callables, modules, object graphs) a hard
+    SpecValidationError, so this stays a *dtype* compatibility shim, not
+    an unsafe-load backdoor."""
+
+
+_LEGACY_NAME_TAGS: dict[str, Any] = {}
+for _mod in ("builtins", "__builtin__"):
+    for _t in (str, int, float, bool):
+        _LEGACY_NAME_TAGS[f"{_mod}.{_t.__name__}"] = _t
+_LEGACY_NAME_TAGS["datetime.date"] = _dt.date
+_LEGACY_NAME_TAGS["datetime.datetime"] = _dt.datetime
+
+
+def _construct_python_name(loader: yaml.SafeLoader, suffix: str, node: yaml.Node):
+    try:
+        return _LEGACY_NAME_TAGS[suffix]
+    except KeyError:
+        raise SpecValidationError(
+            f"unsupported !!python/name tag in spec: {suffix!r} "
+            f"(whitelisted: {sorted(_LEGACY_NAME_TAGS)})"
+        ) from None
+
+
+_LegacySpecLoader.add_multi_constructor(
+    "tag:yaml.org,2002:python/name:", _construct_python_name
+)
+
+
 def canonical_dtype(value: Any) -> str:
     key = value.strip().lower() if isinstance(value, str) else value
     try:
@@ -245,9 +284,13 @@ class DatasetSpec:
 
 
 def load_spec_file(path: str) -> dict[str, DatasetSpec]:
-    """Parse a YAML data dictionary: {dataset_name: spec, ...}."""
+    """Parse a YAML data dictionary: {dataset_name: spec, ...}.
+
+    Accepts legacy pysemantic dictionaries verbatim, including
+    ``!!python/name:`` dtype tags (whitelisted types only — see
+    :class:`_LegacySpecLoader`); everything else is SafeLoader-strict."""
     with open(path) as f:
-        raw = yaml.safe_load(f)
+        raw = yaml.load(f, Loader=_LegacySpecLoader)
     if not isinstance(raw, dict):
         raise SpecValidationError(f"spec file {path} must be a mapping of datasets")
     return {name: DatasetSpec.from_dict(name, d or {}) for name, d in raw.items()}
