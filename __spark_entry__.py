@@ -359,6 +359,39 @@ def q_events_hourly_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ngram_prefix_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram Jaccard near-dups through the AllPairs/PPJoin PREFIX path
+    (selective threshold 0.5, NO stop-shingle cap): exact-recall by the
+    prefix-filter theorem, so the output must equal DuckDB's full
+    inverted-index brute force — the provably-exact configuration of the
+    round-4 dual-plan operator (the 0.12 driver query exercises the
+    counting path)."""
+    docs = _read(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.5, prefix_filter=True
+    )
+
+
+def q_simhash_wide_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-word (2×60-bit portable md5) SimHash near-dups at radius 9 —
+    the round-4 SCALE configuration: 10 exhaustive bands of exactly 12
+    bits each (the width floor below which band self-joins go quadratic;
+    no warning fires), impossible on a single 60-bit word where radius 9
+    would force 6-bit bands. Radius 9/120 sits just below the corpus's
+    random-pair noise floor (the hamming histogram's bulk starts ~12), so
+    the output is the true near-dup set: 21 pairs at sf0.01, 345 at
+    sf0.1. Fully value-oracled: DuckDB rebuilds both md5 words
+    bit-for-bit and takes the quadratic hamming-≤9 pair set, which the
+    pigeonhole-exhaustive Spark output must equal."""
+    docs = _read(spark, sf_dir, "documents")
+    pairs = dedup.simhash_near_dup_pairs(
+        docs, "doc_id", "text", max_hamming=9, n_words=2, portable_hash=True
+    )
+    return pairs.select(
+        "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
+    )
+
+
 def q_streaming_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured-Streaming drift end-to-end: baseline sketch from the
     even-event_id half (batch), then the odd half replayed as a parquet
@@ -678,7 +711,49 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "lsh_topk_embeddings": q_lsh_topk_embeddings,
         "ivf_topk_embeddings": q_ivf_topk_embeddings,
         "streaming_drift_events": q_streaming_drift_events,
+        "ngram_prefix_pairs_documents": q_ngram_prefix_pairs_documents,
+        "simhash_wide_documents": q_simhash_wide_documents,
     }
+
+
+def _simhash_wide_sql(n_words: int = 2, max_hamming: int = 16) -> str:
+    """Brute-force oracle for the MULTI-WORD simhash query: each word w is
+    the 60-bit integer from md5 hex digits [1+15w, 15+15w) — byte-identical
+    to the Spark `_word_hash(w, portable_hash=True)` expr — bit-voted
+    independently; hamming = sum of per-word popcounts. Quadratic over all
+    doc pairs (no banding needed oracle-side); the 17-band
+    pigeonhole-exhaustive Spark output must equal this set."""
+    words = range(n_words)
+    votes = ", ".join(
+        f"sum(case when (h{w} >> {i}) & 1 = 1 then 1 else -1 end) as v{w}_{i}"
+        for w in words
+        for i in range(60)
+    )
+    fps = ", ".join(
+        " + ".join(
+            f"(case when v{w}_{i} > 0 then (1::BIGINT << {i}) else 0 end)"
+            for i in range(60)
+        )
+        + f" AS f{w}"
+        for w in words
+    )
+    hamming = " + ".join(f"bit_count(xor(a.f{w}, b.f{w}))" for w in words)
+    hashes = ", ".join(
+        f"('0x' || substr(md5(t), {1 + 15 * w}, 15))::BIGINT AS h{w}" for w in words
+    )
+    return f"""
+        WITH tok AS (
+            SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS t
+            FROM documents WHERE trim(text) <> ''
+        ),
+        h AS (SELECT doc_id, {hashes} FROM tok),
+        v AS (SELECT doc_id, {votes} FROM h GROUP BY doc_id),
+        fp AS (SELECT doc_id, {fps} FROM v)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               ({hamming})::BIGINT AS hamming
+        FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+        WHERE {hamming} <= {max_hamming}
+    """
 
 
 def _simhash_sql() -> str:
@@ -1188,6 +1263,37 @@ def oracle_sql() -> dict[str, str]:
             FROM u GROUP BY 1, 2, 3, 4
         """,
         "simhash_neardups_documents": _simhash_sql(),
+        "simhash_wide_documents": _simhash_wide_sql(n_words=2, max_hamming=9),
+        # prefix path is exact-recall with NO stop cap: brute-force
+        # inverted-index jaccard at the selective threshold
+        "ngram_prefix_pairs_documents": """
+            WITH tok AS (
+                SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+                FROM documents WHERE trim(text) <> ''
+            ),
+            sh AS (
+                SELECT doc_id,
+                       CASE WHEN len(t) >= 3
+                            THEN list_distinct([array_to_string(t[i:i+2], ' ')
+                                                for i in range(1, len(t) - 1)])
+                            ELSE [] END AS g
+                FROM tok
+            ),
+            sizes AS (SELECT doc_id, len(g) AS sz FROM sh),
+            inv AS (SELECT doc_id, unnest(g) AS shingle FROM sh),
+            pairs AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+                FROM inv a JOIN inv b USING (shingle)
+                WHERE a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT id_a, id_b,
+                   round(inter * 1.0 / (sa.sz + sb.sz - inter), 6) AS jaccard
+            FROM pairs
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.5
+        """,
         "embedding_neardup_pairs": _NEARDUP_EXACT_SQL,
         "embedding_neardup_exact": _NEARDUP_EXACT_SQL,
         "lsh_topk_embeddings": _topk_gate_sql("recall@5 >= 0.6 per query"),

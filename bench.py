@@ -107,11 +107,14 @@ def main() -> None:
         "embedding_neardup_pairs",
         "embedding_neardup_exact",
         "ngram_jaccard_pairs_documents",
+        "ngram_prefix_pairs_documents",
+        "simhash_wide_documents",
         "lsh_topk_embeddings",
         "ivf_topk_embeddings",
         "psi_drift_documents",
         "ks_drift_documents",
         "spec_drift_documents",
+        "streaming_drift_events",
     ]
     for name in headline:
         _noop(qs[name](spark, SF_DIR))  # warmup: codegen/JIT compile

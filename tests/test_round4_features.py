@@ -326,3 +326,43 @@ def test_queries_wrapper_releases_previous_intermediates(spark):
     assert tracked_count() > 0
     qs["top_events_by_value"](spark, "/root/testdata/sf0.001")
     assert tracked_count() == 0
+
+
+# ---------------------------------------------------------------------------
+# new driver queries (round 4, second batch)
+# ---------------------------------------------------------------------------
+
+def test_new_driver_queries_run_and_shape(spark):
+    import __spark_entry__ as entry
+
+    qs, osql = entry.queries(), entry.oracle_sql()
+    for name, cols in [
+        ("ngram_prefix_pairs_documents", ["id_a", "id_b", "jaccard"]),
+        ("simhash_wide_documents", ["id_a", "id_b", "hamming"]),
+    ]:
+        assert name in qs and name in osql
+        df = qs[name](spark, "/root/testdata/sf0.001")
+        assert df.columns == cols
+        assert df.count() >= 0
+
+
+def test_run_resumable_skipped_disjoint_from_quarantined(spark, tmp_path):
+    """skipped must mean verifiably DONE; quarantined buckets are parked,
+    never double-reported as skipped (round-3 ADVICE)."""
+    import pandas as pd
+
+    from pysemantic_spark.sources.tableio import ParquetManifestIO, run_resumable
+    from pysemantic_spark.spec import DatasetSpec
+
+    io = ParquetManifestIO(str(tmp_path / "t"))
+    pdf = pd.DataFrame(
+        {"k": [f"k{i}" for i in range(200)], "v": range(200)}
+    )
+    io.write_bucketed(spark.createDataFrame(pdf), bucket_key="k", n_buckets=4)
+    spec = DatasetSpec.from_dict("t", {"column_rules": {"v": {"min": 0}}})
+    first = run_resumable(spark, io, spec, chunk_size=1, max_chunks=2)
+    second = run_resumable(spark, io, spec, chunk_size=1)
+    assert set(second["skipped"]) == set(first["processed"])
+    assert set(second["skipped"]).isdisjoint(set(second["quarantined"]))
+    m = io.load_manifest()
+    assert all(m.entries[b].status == "done" for b in second["skipped"])
