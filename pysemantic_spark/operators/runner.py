@@ -406,24 +406,37 @@ def execute(
     metrics = obs.get
     _mark("pass1_violations_write")
 
-    # per-bucket violating-row counts from the (small) violations output
-    viol_rows_per_bucket = _violating_rows_per_bucket(viol_small, key_cols).toPandas()
-    _mark("viol_rows_per_bucket")
+    # ---- pass 2: skinny aggs, CONCURRENT actions --------------------------
+    # Three independent jobs run here: (a) per-bucket violating-row counts
+    # from the small violations output, (b) bucket totals (one pruned scan
+    # of the bucket_by column), (c) the duplicate-key groups written to the
+    # dupes sink. (a) and (b) are tiny (seconds of mostly fixed job cost)
+    # but were serialized after (c) — pure driver round-trip latency. They
+    # are submitted from helper threads while the main thread runs the big
+    # dupes job: independent DAGs, so Spark schedules their tasks into the
+    # idle slots of (c)'s waves (standard concurrent-jobs practice on real
+    # clusters; PySpark actions are thread-safe). Saves ~2 s/run at every
+    # cluster size — material to the N-vs-4N efficiency ratio, where the
+    # serial floor is divided by nothing.
+    #
+    # Bucket totals stay a SEPARATE aggregation from the dup-key aggs on
+    # purpose: grouping dupes by (key, bucket) would split a duplicated key
+    # across buckets whenever bucket_by is not functionally dependent on
+    # the key (each (key,bucket) group counts 1 → duplicates silently
+    # missed). Dupes group by the key ALONE, exactly like validate().
+    from concurrent.futures import ThreadPoolExecutor
 
-    # ---- pass 2: skinny aggs → bucket totals + per-key dupes ---------------
-    # Bucket totals: one pruned scan of the bucket_by column only. Kept
-    # separate from the dup-key aggs on purpose: grouping dupes by
-    # (key, bucket) would split a duplicated key across buckets whenever
-    # bucket_by is not functionally dependent on the key (each (key,bucket)
-    # group counts 1 → duplicates silently missed). Dupes group by the key
-    # ALONE, exactly like validate().
-    bucket_totals = (
-        df.select(res._bucket_expr.alias("bucket"))
-        .groupBy("bucket")
-        .agg(F.count(F.lit(1)).alias("n_rows"))
-        .toPandas()
-    )
-    _mark("bucket_totals")
+    def _viol_rows_job():
+        return _violating_rows_per_bucket(viol_small, key_cols).toPandas()
+
+    def _totals_job():
+        return (
+            df.select(res._bucket_expr.alias("bucket"))
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n_rows"))
+            .toPandas()
+        )
+
     # Duplicate-key groups for ALL declared keys (composite `uniqueness`
     # entries and per-column is_drop_duplicates alike), unioned. The result
     # is written to a sink, NEVER toPandas()'d: on a 10^12-row table with
@@ -439,17 +452,22 @@ def execute(
         dupes = d if dupes is None else dupes.unionByName(d, allowMissingColumns=True)
     dupes_path = None
     n_dup_keys = 0
-    if dupes is not None:
-        if dupes_sink is None and violations_sink is not None:
-            dupes_sink = violations_sink.rstrip("/") + "_dupes"
-        if dupes_sink:
-            dupes.write.format(sink_format).mode("overwrite").save(dupes_sink)
-            dupes = spark.read.format(sink_format).load(dupes_sink)
-            dupes_path = dupes_sink
-        else:
-            dupes = dupes.persist()
-        n_dup_keys = dupes.count()
-    _mark("dupes_pass")
+    with ThreadPoolExecutor(max_workers=2) as _pool:
+        _viol_fut = _pool.submit(_viol_rows_job)
+        _totals_fut = _pool.submit(_totals_job)
+        if dupes is not None:
+            if dupes_sink is None and violations_sink is not None:
+                dupes_sink = violations_sink.rstrip("/") + "_dupes"
+            if dupes_sink:
+                dupes.write.format(sink_format).mode("overwrite").save(dupes_sink)
+                dupes = spark.read.format(sink_format).load(dupes_sink)
+                dupes_path = dupes_sink
+            else:
+                dupes = dupes.persist()
+            n_dup_keys = dupes.count()
+        viol_rows_per_bucket = _viol_fut.result()
+        bucket_totals = _totals_fut.result()
+    _mark("pass2_overlapped")
 
     # ---- drift: spec-declared distribution checks vs the baseline sketch --
     # One extra fused scan over ONLY the drift columns (all columns' bins
