@@ -392,6 +392,21 @@ def q_simhash_wide_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_salted_user_counts_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-stage aggregation (skew.salted_group_count): partial
+    count per (user_id, salt) then final sum per user — the explicit-salt
+    shape the north_rule's skewed-conversation handling uses, result
+    invariant to salt_factor (property-tested) and here oracle-equal to a
+    plain GROUP BY. The salt is a deterministic hash of within-key entropy
+    columns, never random (stage-retry safety)."""
+    from pysemantic_spark.operators.skew import salted_group_count
+
+    ev = _read(spark, sf_dir, "events")
+    return salted_group_count(
+        ev, ["user_id"], salt_factor=8, entropy_cols=("event_id",)
+    ).select("user_id", F.col("cnt").cast("long").alias("cnt"))
+
+
 def q_streaming_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured-Streaming drift end-to-end: baseline sketch from the
     even-event_id half (batch), then the odd half replayed as a parquet
@@ -713,6 +728,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "streaming_drift_events": q_streaming_drift_events,
         "ngram_prefix_pairs_documents": q_ngram_prefix_pairs_documents,
         "simhash_wide_documents": q_simhash_wide_documents,
+        "salted_user_counts_events": q_salted_user_counts_events,
     }
 
 
@@ -1264,6 +1280,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "simhash_neardups_documents": _simhash_sql(),
         "simhash_wide_documents": _simhash_wide_sql(n_words=2, max_hamming=9),
+        # two-stage salted agg must equal the plain GROUP BY for any salt
+        "salted_user_counts_events": """
+            SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id
+        """,
         # prefix path is exact-recall with NO stop cap: brute-force
         # inverted-index jaccard at the selective threshold
         "ngram_prefix_pairs_documents": """

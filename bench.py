@@ -115,6 +115,7 @@ def main() -> None:
         "ks_drift_documents",
         "spec_drift_documents",
         "streaming_drift_events",
+        "salted_user_counts_events",
     ]
     for name in headline:
         _noop(qs[name](spark, SF_DIR))  # warmup: codegen/JIT compile

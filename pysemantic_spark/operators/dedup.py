@@ -118,8 +118,9 @@ def ngram_prefix_index(
 
     ``inv`` = (_id, shingle) exploded rows; ``sizes`` = (_id, _size) FULL
     distinct-shingle counts (prefix length must use the full set size
-    even if the caller pre-filtered ``inv``). Returns the (_id, shingle)
-    subset forming each doc's prefix."""
+    even if the caller pre-filtered ``inv``). Returns each doc's prefix
+    as (_id, shingle, _rn, _size) — rank and full size ride along so the
+    candidate join can apply the PPJoin positional filter."""
     freq = inv.groupBy("shingle").agg(F.count(F.lit(1)).alias("_f"))
     ranked = (
         inv.join(freq, "shingle")
@@ -134,7 +135,7 @@ def ngram_prefix_index(
     return (
         ranked.join(sizes, "_id")
         .filter(F.col("_rn") <= plen)
-        .select("_id", "shingle")
+        .select("_id", "shingle", "_rn", "_size")
     )
 
 
@@ -191,9 +192,33 @@ def ngram_jaccard_pairs(
     if prefix_filter:
         pref = ngram_prefix_index(inv, sizes, threshold)
         a, b = pref.alias("a"), pref.alias("b")
+        t = F.lit(float(threshold))
+        # PPJoin pruning at candidate generation, both EXACT for J ≥ t:
+        # length filter — J ≥ t ⟹ t·|x| ≤ |y| ≤ |x|/t; positional
+        # filter — at the first common prefix shingle (positions i, j in
+        # rarity order) every one of the α required common shingles ranks
+        # no earlier in either doc, so 1 + min(|x|−i, |y|−j) ≥
+        # α = ⌈t/(1+t)·(|x|+|y|)⌉ must hold there; a qualifying pair
+        # always survives at that occurrence, so keeping pairs with ≥1
+        # surviving occurrence loses nothing.
+        alpha = F.ceil(
+            t / (t + F.lit(1.0)) * (F.col("a._size") + F.col("b._size"))
+        )
         cand = (
             a.join(b, on="shingle")
             .filter(F.col("a._id") < F.col("b._id"))
+            .filter(
+                (F.col("b._size") >= F.ceil(t * F.col("a._size")))
+                & (F.col("a._size") >= F.ceil(t * F.col("b._size")))
+            )
+            .filter(
+                F.lit(1)
+                + F.least(
+                    F.col("a._size") - F.col("a._rn"),
+                    F.col("b._size") - F.col("b._rn"),
+                )
+                >= alpha
+            )
             .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
             .distinct()
         )
