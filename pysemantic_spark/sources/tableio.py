@@ -291,6 +291,12 @@ def run_resumable(
             e.input_fingerprint = io._bucket_fingerprint(b)
             if b == chunk[0]:
                 e.stats = {"n_chunk_rows": out["n_rows"], "chunk_stats": stats}
+                # per-phase wall clock of the chunk's execute() run rides the
+                # manifest: a resumed job's operator can spot a degrading
+                # phase (e.g. pass-1 write slowing as the table grows)
+                # without any external metrics store
+                if out.get("timings"):
+                    e.stats["phase_timings"] = out["timings"]
                 if out.get("drift") is not None:
                     # drifted/not-drifted rows ride the manifest (tiny frame)
                     e.stats["drift"] = out["drift"].to_dict(orient="records")

@@ -165,3 +165,57 @@ def test_cosine_pairs_exact_property(spark, n, dim, n_blocks, thr, seed):
     assert got.keys() == exact.keys()
     for k_, v in got.items():
         assert v == exact[k_]
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    n_docs=st.integers(min_value=4, max_value=25),
+    vocab=st.integers(min_value=8, max_value=40),
+    doc_len=st.integers(min_value=4, max_value=25),
+    thr=st.floats(min_value=0.2, max_value=0.95),
+    seed=st.integers(min_value=0, max_value=2**20),
+)
+def test_ngram_prefix_path_equals_counting_path(
+    spark, n_docs, vocab, doc_len, thr, seed
+):
+    """The PPJoin prefix path (prefix index + length + positional filters +
+    array-intersect verify) and the counting path (full inverted-index
+    aggregation) are independent exact plans — for ANY corpus shape and
+    threshold they must emit the identical pair set with identical round-6
+    jaccards. Mixed doc lengths specifically exercise the length filter;
+    planted near-dups exercise the positional filter at the boundary."""
+    import random as _random
+
+    import pandas as pd
+
+    from pysemantic_spark.operators import dedup
+    from pysemantic_spark.operators.cache import tracked_intermediates
+
+    rng = _random.Random(seed)
+    docs = []
+    for i in range(n_docs):
+        L = rng.randint(2, doc_len)
+        toks = [f"w{rng.randrange(vocab)}" for _ in range(L)]
+        docs.append((i, " ".join(toks)))
+        if rng.random() < 0.4:  # near-dup with a small edit (often size±1)
+            mut = list(toks)
+            if rng.random() < 0.5 and len(mut) > 2:
+                mut.pop(rng.randrange(len(mut)))
+            else:
+                mut.append(f"w{rng.randrange(vocab)}")
+            docs.append((1000 + i, " ".join(mut)))
+    df = spark.createDataFrame(pd.DataFrame(docs, columns=["doc_id", "text"]))
+    with tracked_intermediates():
+        prefix = {
+            (r["id_a"], r["id_b"], r["jaccard"])
+            for r in dedup.ngram_jaccard_pairs(
+                df, "doc_id", "text", n=2, threshold=thr, prefix_filter=True
+            ).collect()
+        }
+        counting = {
+            (r["id_a"], r["id_b"], r["jaccard"])
+            for r in dedup.ngram_jaccard_pairs(
+                df, "doc_id", "text", n=2, threshold=thr, prefix_filter=False
+            ).collect()
+        }
+    assert prefix == counting
