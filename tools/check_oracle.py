@@ -5,6 +5,7 @@ and order-insensitive value hash (columns sorted by name, rows sorted)."""
 from __future__ import annotations
 
 import hashlib
+import os
 import sys
 import time
 
@@ -90,5 +91,12 @@ def main(sf_dir: str = "/root/testdata/sf0.01", only: list[str] | None = None) -
 
 
 if __name__ == "__main__":
-    only = sys.argv[1].split(",") if len(sys.argv) > 1 else None
-    raise SystemExit(main(only=only))
+    # args: [sf_dir] [query,names] in either order — a path-looking arg is
+    # the sf dir, anything else the comma-separated query filter
+    sf_dir, only = "/root/testdata/sf0.01", None
+    for a in sys.argv[1:]:
+        if os.path.sep in a or os.path.isdir(a):
+            sf_dir = a
+        else:
+            only = a.split(",")
+    raise SystemExit(main(sf_dir=sf_dir, only=only))
