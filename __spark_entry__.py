@@ -392,6 +392,23 @@ def q_simhash_wide_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_clusters_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-CLUSTER assignment — the step after pair mining that a
+    real training-data dedup needs: near-dup pairs (exact prefix-path
+    jaccard ≥ 0.5) → connected components via min-label propagation →
+    (doc_id, cluster_rep) with one canonical representative per cluster.
+    Oracle: DuckDB recursive-CTE transitive closure over the SAME pair
+    set — the exact fixpoint the iterative propagation converges to."""
+    docs = _read(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.5, prefix_filter=True
+    )
+    return dedup.connected_components(pairs).select(
+        F.col("node").cast("long").alias("doc_id"),
+        F.col("cluster_rep").cast("long").alias("cluster_rep"),
+    )
+
+
 def q_salted_user_counts_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-safe two-stage aggregation (skew.salted_group_count): partial
     count per (user_id, salt) then final sum per user — the explicit-salt
@@ -729,6 +746,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "ngram_prefix_pairs_documents": q_ngram_prefix_pairs_documents,
         "simhash_wide_documents": q_simhash_wide_documents,
         "salted_user_counts_events": q_salted_user_counts_events,
+        "dedup_clusters_documents": q_dedup_clusters_documents,
     }
 
 
@@ -807,6 +825,36 @@ def _simhash_sql() -> str:
 # path's operating point makes its recall 1.0 at the oracle scale (and its
 # emitted cosines are exact), and the blocked-GEMM path is exact by
 # construction — both must equal this set
+_NGRAM_BRUTE_05_SQL = """
+    WITH tok AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+        FROM documents WHERE trim(text) <> ''
+    ),
+    sh AS (
+        SELECT doc_id,
+               CASE WHEN len(t) >= 3
+                    THEN list_distinct([array_to_string(t[i:i+2], ' ')
+                                        for i in range(1, len(t) - 1)])
+                    ELSE [] END AS g
+        FROM tok
+    ),
+    sizes AS (SELECT doc_id, len(g) AS sz FROM sh),
+    inv AS (SELECT doc_id, unnest(g) AS shingle FROM sh),
+    pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        FROM inv a JOIN inv b USING (shingle)
+        WHERE a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           round(inter * 1.0 / (sa.sz + sb.sz - inter), 6) AS jaccard
+    FROM pairs
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.5
+"""
+
+
 _NEARDUP_EXACT_SQL = """
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -1286,33 +1334,27 @@ def oracle_sql() -> dict[str, str]:
         """,
         # prefix path is exact-recall with NO stop cap: brute-force
         # inverted-index jaccard at the selective threshold
-        "ngram_prefix_pairs_documents": """
-            WITH tok AS (
-                SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
-                FROM documents WHERE trim(text) <> ''
+        "ngram_prefix_pairs_documents": _NGRAM_BRUTE_05_SQL,
+        # duplicate clusters: transitive closure (recursive CTE) over the
+        # SAME brute-force pair set; cluster_rep = min reachable id, the
+        # exact fixpoint the min-label propagation must converge to
+        "dedup_clusters_documents": f"""
+            WITH RECURSIVE p AS (
+                SELECT id_a, id_b FROM ({_NGRAM_BRUTE_05_SQL})
             ),
-            sh AS (
-                SELECT doc_id,
-                       CASE WHEN len(t) >= 3
-                            THEN list_distinct([array_to_string(t[i:i+2], ' ')
-                                                for i in range(1, len(t) - 1)])
-                            ELSE [] END AS g
-                FROM tok
+            edges AS (
+                SELECT id_a AS u, id_b AS v FROM p
+                UNION
+                SELECT id_b AS u, id_a AS v FROM p
             ),
-            sizes AS (SELECT doc_id, len(g) AS sz FROM sh),
-            inv AS (SELECT doc_id, unnest(g) AS shingle FROM sh),
-            pairs AS (
-                SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-                FROM inv a JOIN inv b USING (shingle)
-                WHERE a.doc_id < b.doc_id
-                GROUP BY 1, 2
+            reach(u, v) AS (
+                SELECT u, v FROM edges
+                UNION
+                SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
             )
-            SELECT id_a, id_b,
-                   round(inter * 1.0 / (sa.sz + sb.sz - inter), 6) AS jaccard
-            FROM pairs
-            JOIN sizes sa ON sa.doc_id = id_a
-            JOIN sizes sb ON sb.doc_id = id_b
-            WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.5
+            SELECT u AS doc_id,
+                   least(u, min(v))::BIGINT AS cluster_rep
+            FROM reach GROUP BY u
         """,
         "embedding_neardup_pairs": _NEARDUP_EXACT_SQL,
         "embedding_neardup_exact": _NEARDUP_EXACT_SQL,

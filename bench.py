@@ -116,6 +116,7 @@ def main() -> None:
         "spec_drift_documents",
         "streaming_drift_events",
         "salted_user_counts_events",
+        "dedup_clusters_documents",
     ]
     # Intermediate-cache discipline: the wrapped queries() callables release
     # the PREVIOUS query's persisted intermediates on entry (bounded storage

@@ -528,3 +528,71 @@ def simhash_near_dup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Duplicate-cluster assignment from a near-dup pair list: connected
+    components via min-label propagation. Returns (node, cluster_rep)
+    for every node appearing in ``pairs``; cluster_rep = the smallest
+    node id reachable through the pair graph, so each cluster has one
+    canonical representative (the training-data dedup contract: keep the
+    representative, drop the rest).
+
+    Plan per round: one join of the edge list against the current labels
+    + a min-agg per node, i.e. ~|E| shuffled rows keyed by node — no
+    driver-side graph. Labels are re-materialized (persist + previous
+    round released) each round so the lineage stays ONE round deep
+    instead of compounding; convergence is detected with a changed-label
+    count. Near-dup clusters are short-diameter by construction (a dup
+    cluster is near-cliquish), so rounds ≈ 3-5 in practice; the
+    ``max_iters`` bound guards adversarial chain graphs, where the known
+    upgrade is the O(log n)-round large-star/small-star algorithm
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") on
+    the same join shape.
+    """
+    from pysemantic_spark.operators.cache import materialize
+
+    edges = _materialize(
+        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v")).unionByName(
+            pairs.select(F.col(id_b).alias("u"), F.col(id_a).alias("v"))
+        )
+    )
+    labels = materialize(
+        edges.select("u").distinct().withColumn("label", F.col("u"))
+    )
+    labels.count()
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(
+                labels.select(
+                    F.col("u").alias("v"), F.col("label").alias("vlabel")
+                ),
+                "v",
+            )
+            .groupBy("u")
+            .agg(F.min("vlabel").alias("nmin"))
+        )
+        new_labels = materialize(
+            labels.join(neighbor_min, "u", "left").select(
+                "u",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+                ).alias("label"),
+            )
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "u")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("u").alias("node"), F.col("label").alias("cluster_rep"))

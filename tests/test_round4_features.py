@@ -366,3 +366,25 @@ def test_run_resumable_skipped_disjoint_from_quarantined(spark, tmp_path):
     assert set(second["skipped"]).isdisjoint(set(second["quarantined"]))
     m = io.load_manifest()
     assert all(m.entries[b].status == "done" for b in second["skipped"])
+
+
+def test_connected_components_known_graph(spark):
+    """Chain, triangle, and 2-cycle: every node labeled with the smallest
+    reachable id, clusters never merged across components."""
+    pairs = pd.DataFrame(
+        {
+            "id_a": [1, 2, 3,   10, 11, 10,   20],
+            "id_b": [2, 3, 4,   11, 12, 12,   21],
+        }
+    )
+    got = {
+        (r["node"], r["cluster_rep"])
+        for r in dedup.connected_components(
+            spark.createDataFrame(pairs)
+        ).collect()
+    }
+    release_intermediates()
+    exp = {(1, 1), (2, 1), (3, 1), (4, 1),
+           (10, 10), (11, 10), (12, 10),
+           (20, 20), (21, 20)}
+    assert got == exp
