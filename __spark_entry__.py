@@ -409,6 +409,34 @@ def q_dedup_clusters_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_clean_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus CLEANING in one declarative plan — the composed
+    pretraining-filter pipeline: quality gate (round-6 score ≥ 0.45) →
+    language filter (pred_lang = 'en') → exact near-whitespace dedup
+    keeping the smallest doc_id per fingerprint (groupBy-min: no window,
+    no shuffle of text bodies — only (fp, doc_id, quality) triples move).
+    Returns (doc_id, fp, n_dups, quality). Every stage reuses an
+    individually-oracled primitive; the composed SQL oracle re-derives
+    the whole pipeline from the same marker table and formulas."""
+    from pysemantic_spark.functions.text import fingerprint, lang_id, quality_score
+
+    docs = _read(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        F.round(quality_score("text"), 6).alias("quality"),
+        lang_id("text").alias("pred_lang"),
+        fingerprint("text").alias("fp"),
+    )
+    kept = scored.filter(
+        (F.col("quality") >= 0.45) & (F.col("pred_lang") == "en")
+    )
+    return kept.groupBy("fp").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.count(F.lit(1)).cast("long").alias("n_dups"),
+        F.max("quality").alias("quality"),
+    ).select("doc_id", "fp", "n_dups", "quality")
+
+
 def q_salted_user_counts_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-safe two-stage aggregation (skew.salted_group_count): partial
     count per (user_id, salt) then final sum per user — the explicit-salt
@@ -747,6 +775,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "simhash_wide_documents": q_simhash_wide_documents,
         "salted_user_counts_events": q_salted_user_counts_events,
         "dedup_clusters_documents": q_dedup_clusters_documents,
+        "corpus_clean_documents": q_corpus_clean_documents,
     }
 
 
@@ -915,6 +944,59 @@ def _lang_id_sql() -> str:
         )
         SELECT lang, {case} AS pred_lang, count(*) AS n
         FROM scored GROUP BY 1, 2
+    """
+
+
+def _corpus_clean_sql() -> str:
+    """Composed pipeline oracle: quality formula + marker-argmax lang +
+    normalized-md5 fingerprint (each identical to its standalone oracle),
+    filtered and grouped exactly like the Spark plan."""
+    score_cols = []
+    for lang, words in LANG_MARKERS.items():
+        inlist = ", ".join(f"'{w}'" for w in words)
+        score_cols.append(
+            f"len(list_filter(string_split_regex(trim(text), '\\s+'), "
+            f"t -> lower(t) IN ({inlist}))) AS s_{lang}"
+        )
+    langs = list(LANG_MARKERS)
+    best = "greatest(" + ", ".join(f"s_{lg}" for lg in langs) + ")"
+    case = "CASE "
+    for lg in langs:
+        case += f"WHEN {best} > 0 AND s_{lg} = {best} THEN '{lg}' "
+    case += "ELSE 'und' END"
+    return f"""
+        WITH f AS (
+            SELECT doc_id, text,
+                   CASE WHEN length(text) >= 50 AND length(text) <= 100000
+                        THEN 1.0 WHEN length(text) > 0 THEN 0.3 ELSE 0.0
+                   END AS len_ok,
+                   CASE WHEN length(text) > 0
+                        THEN length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+                             * 1.0 / length(text)
+                        ELSE 0.0 END AS punct,
+                   CASE WHEN trim(text) = '' THEN 0.0
+                        ELSE len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                 t -> lower(t) IN ('the','and','of','to','is')))
+                             * 1.0
+                             / len(string_split_regex(trim(text), '\\s+'))
+                   END AS sw,
+                   {', '.join(score_cols)}
+            FROM documents
+        ),
+        scored AS (
+            SELECT doc_id,
+                   round(len_ok * 0.4
+                         + (1.0 - least(punct * 4, 1.0)) * 0.3
+                         + least(sw * 5, 1.0) * 0.3, 6) AS quality,
+                   {case} AS pred_lang,
+                   md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+            FROM f
+        )
+        SELECT min(doc_id) AS doc_id, fp, count(*)::BIGINT AS n_dups,
+               max(quality) AS quality
+        FROM scored
+        WHERE quality >= 0.45 AND pred_lang = 'en'
+        GROUP BY fp
     """
 
 
@@ -1356,6 +1438,7 @@ def oracle_sql() -> dict[str, str]:
                    least(u, min(v))::BIGINT AS cluster_rep
             FROM reach GROUP BY u
         """,
+        "corpus_clean_documents": _corpus_clean_sql(),
         "embedding_neardup_pairs": _NEARDUP_EXACT_SQL,
         "embedding_neardup_exact": _NEARDUP_EXACT_SQL,
         "lsh_topk_embeddings": _topk_gate_sql("recall@5 >= 0.6 per query"),

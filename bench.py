@@ -117,6 +117,7 @@ def main() -> None:
         "streaming_drift_events",
         "salted_user_counts_events",
         "dedup_clusters_documents",
+        "corpus_clean_documents",
     ]
     # Intermediate-cache discipline: the wrapped queries() callables release
     # the PREVIOUS query's persisted intermediates on entry (bounded storage
