@@ -258,16 +258,38 @@ def q_simhash_neardups_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_EXACT_TOPK_MEMO: dict[str, tuple] = {}
+_EXACT_TOPK_MEMO: dict[tuple, tuple] = {}
+
+
+def _source_fingerprint(sf_dir: str, table: str) -> tuple:
+    """(relpath, mtime_ns, size) of every file under the table's parquet
+    path — the memo-invalidation key: if the data at the path changes in
+    a long-lived session, the memo entry no longer matches and the exact
+    result is recomputed instead of served stale."""
+    p = os.path.join(sf_dir, f"{table}.parquet")
+    if os.path.isfile(p):
+        st = os.stat(p)
+        return ((table, st.st_mtime_ns, st.st_size),)
+    entries = []
+    for root, _, names in os.walk(p):
+        for nm in sorted(names):
+            fp = os.path.join(root, nm)
+            st = os.stat(fp)
+            entries.append((os.path.relpath(fp, p), st.st_mtime_ns, st.st_size))
+    return tuple(entries)
 
 
 def _exact_topk5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact brute-force cosine top-5 for query vectors vec_id<5 —
-    computed ONCE per sf_dir per process (the result is 25 tiny rows) and
-    shared by the three ANN queries (`cosine_topk_embeddings` plus both
-    recall gates). Round-3 finding: each gate recomputed the O(n·q) exact
-    scoring inline, so one bench pass paid it three times."""
-    key = os.path.abspath(sf_dir)
+    computed ONCE per (sf_dir, source fingerprint) per process (the
+    result is 25 tiny rows) and shared by the three ANN queries
+    (`cosine_topk_embeddings` plus both recall gates). Round-3 finding:
+    each gate recomputed the O(n·q) exact scoring inline, so one bench
+    pass paid it three times. Round-5: the key includes the parquet
+    files' mtime/size so a data refresh invalidates the memo; bench.py
+    clears it before the timed `cosine_topk_embeddings` run so that
+    timing measures the real brute-force plan, not a memo replay."""
+    key = (os.path.abspath(sf_dir), _source_fingerprint(sf_dir, "embeddings"))
     if key not in _EXACT_TOPK_MEMO:
         emb = _read(spark, sf_dir, "embeddings").withColumn(
             "embedding", F.col("embedding").cast("array<double>")
@@ -644,11 +666,13 @@ def q_ivf_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     8 coarse centroids, n_probe=3 (the isotropic fixture has no real
     cluster structure, so single-probe recall is poor by nature — probing
     3 clusters scores ~0.38n candidates); measured recall@5 per query is
-    ≥ 0.6 at sf0.01 and ≥ 0.4 at sf0.1; gate at 0.4. Deterministic:
-    the training sample is canonically ordered driver-side (lexsort) so
-    centroids are a pure function of the sampled SET — and at fixture
-    scale the limit() covers the whole corpus, so of the data itself —
-    and all seeds are plan literals."""
+    ≥ 0.6 at sf0.01 and ≥ 0.4 at sf0.1; gate at 0.4. Deterministic in
+    both SET and ORDER: ``sample_fraction=1.0`` makes the training
+    sample a seeded Bernoulli pass (layout-independent set; an unordered
+    limit() prefix would depend on scan order once the corpus outgrows
+    the cap), the sample is canonically ordered driver-side (lexsort),
+    and all seeds are plan literals — so the centroids, and the gate,
+    are a pure function of the data."""
     emb = _read(spark, sf_dir, "embeddings").withColumn(
         "embedding", F.col("embedding").cast("array<double>")
     )
@@ -657,7 +681,8 @@ def q_ivf_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     exact = _exact_topk5(spark, sf_dir)
     approx = similarity.ivf_topk(
-        emb, queries, dim=64, k=5, n_centroids=8, n_probe=3
+        emb, queries, dim=64, k=5, n_centroids=8, n_probe=3,
+        sample_fraction=1.0,
     )
     return _topk_recall_gate(exact, approx, k=5, bound=0.4)
 

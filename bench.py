@@ -132,6 +132,13 @@ def main() -> None:
     for name in headline:
         release_intermediates()
         _noop(raw[name](spark, SF_DIR))  # warmup: codegen/JIT compile
+        if name == "cosine_topk_embeddings":
+            # the exact top-k memo would otherwise turn the timed run into
+            # a 25-row createDataFrame replay (round-4 ADVICE): clear it so
+            # the timed number is the real brute-force plan on a warm
+            # engine. The timed run repopulates it, so the downstream
+            # lsh/ivf recall gates still share one exact pass.
+            entrymod._EXACT_TOPK_MEMO.clear()
         t0 = time.time()
         _noop(raw[name](spark, SF_DIR))
         timings[name] = round(time.time() - t0, 3)

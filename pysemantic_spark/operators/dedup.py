@@ -45,27 +45,89 @@ def exact_duplicates(df: DataFrame, cols: list[str]) -> DataFrame:
     )
 
 
+def split_by_dup_keys(
+    df: DataFrame, dup_keys: DataFrame, cols: list[str]
+) -> tuple[DataFrame, DataFrame]:
+    """NULL-safe (dup_part, uniq_part) split of ``df`` against a dup-key
+    frame. Plain ``on=cols`` equi-joins never match NULL keys, so rows
+    whose key columns are NULL would ALL fall into the anti branch and
+    survive dedup — silently diverging from window / GROUP BY semantics,
+    which group NULL keys together. ``eqNullSafe`` (<=>) keeps the joins
+    hash-plannable (Catalyst extracts null-safe equality as an equi-join
+    key via coalesce wrapping) while matching NULL = NULL."""
+    dk = dup_keys.select(*[F.col(c).alias(f"__dk_{c}") for c in cols])
+    cond = None
+    for c in cols:
+        eq = F.col(c).eqNullSafe(F.col(f"__dk_{c}"))
+        cond = eq if cond is None else cond & eq
+    return df.join(dk, cond, "left_semi"), df.join(dk, cond, "left_anti")
+
+
+def keep_first_strategy(
+    df: DataFrame, cols: list[str], split_threshold: float = 0.7
+) -> str:
+    """Pick the keep-first physical plan from one cheap agg: count + an
+    approx_count_distinct sketch of the key struct (both map-side
+    combinable — a single scan with a tiny shuffle). distinct_keys/rows
+    near 1 means almost every row is unique → the dup-split avoids
+    shuffling them through the window exchange; near 0 means most rows
+    ARE duplicated → the split degenerates (empty anti branch) and pays a
+    groupBy + two joins ON TOP of the same full window, measured 10×
+    slower than the plain window on an all-duplicate table."""
+    row = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.approx_count_distinct(F.struct(*cols)).alias("k"),
+    ).first()
+    n, k = row["n"], row["k"]
+    return "split" if n == 0 or k / n >= split_threshold else "window"
+
+
 def exact_dedup_keep_first(
-    df: DataFrame, cols: list[str], order_by: list[str]
+    df: DataFrame,
+    cols: list[str],
+    order_by: list[str],
+    strategy: str = "auto",
+    split_threshold: float = 0.7,
 ) -> DataFrame:
     """Keep the first row per key under a deterministic order.
 
-    Semi/anti dup-split (same pattern as the runner's clean path,
-    runner.py execute): only keys that actually occur more than once enter
-    the window shuffle; unique-key rows (the overwhelming majority of any
-    real table) pass through a plain anti-join untouched. A naive
-    row_number() over the whole table would shuffle EVERY row — including
-    full text bodies — through the window exchange; at 10^12 rows with
-    <1% duplicate keys that is ~100× more shuffle volume than needed."""
+    Two physical plans, chosen adaptively (``strategy="auto"``) from the
+    measured distinct-key fraction (:func:`keep_first_strategy`):
+
+    - ``"split"`` — semi/anti dup-split (same pattern as the runner's
+      clean path, runner.py execute): only keys that actually occur more
+      than once enter the window shuffle; unique-key rows (the
+      overwhelming majority of any real table) pass through a NULL-safe
+      anti-join untouched. At 10^12 rows with <1% duplicate keys a naive
+      full-table row_number() would shuffle ~100× more volume — full
+      text bodies included — through the window exchange.
+    - ``"window"`` — plain row_number() over the whole table: right when
+      most keys ARE duplicated, where the split's anti branch is empty
+      and its groupBy + joins are pure overhead on top of the same
+      window.
+
+    NULL keys group together in BOTH plans (window partitioning and
+    GROUP BY treat NULLs as one group; the split uses
+    :func:`split_by_dup_keys`'s null-safe joins), so duplicate NULL-key
+    rows dedup to one survivor either way."""
+    if strategy == "auto":
+        strategy = keep_first_strategy(df, cols, split_threshold)
+    if strategy not in ("split", "window"):
+        raise ValueError(f"unknown keep-first strategy {strategy!r}")
+    w = Window.partitionBy(*cols).orderBy(*[F.col(c) for c in order_by])
+    if strategy == "window":
+        return (
+            df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
     dup_keys = (
         df.groupBy(*cols)
         .agg(F.count(F.lit(1)).alias("__c"))
         .filter(F.col("__c") > 1)
         .select(*cols)
     )
-    uniq_part = df.join(dup_keys, on=cols, how="left_anti")
-    dup_part = df.join(dup_keys, on=cols, how="left_semi")
-    w = Window.partitionBy(*cols).orderBy(*[F.col(c) for c in order_by])
+    dup_part, uniq_part = split_by_dup_keys(df, dup_keys, cols)
     dup_kept = (
         dup_part.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
@@ -258,6 +320,101 @@ def ngram_jaccard_pairs(
     )
 
 
+def token_stream_key(text_col: str) -> "F.Column":
+    """md5 of the space-joined whitespace-token stream. Tokens contain no
+    whitespace (they're split on it), so the joined string — and the key —
+    is an INJECTIVE function of the token sequence: equal keys ⟺ equal
+    token streams ⟺ equal shingle sets, minhash signatures, AND simhash
+    fingerprints. NOT :func:`fingerprint` (that lowercases; minhash/
+    simhash are case-sensitive)."""
+    return F.md5(F.concat_ws(" ", tokens(text_col)))
+
+
+def collapse_identical_docs(
+    df: DataFrame, id_col: str, text_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """Band-bucket skew guard for pair mining: collapse docs with
+    identical token streams to ONE representative (min id) each.
+
+    m byte-identical documents (dead-common at crawl scale: boilerplate,
+    mirrored pages, retry dupes) land in the SAME band bucket of EVERY
+    MinHash/SimHash band, generating O(m²) candidate pairs per band
+    before any verification — the first thing that falls over at 10⁹
+    docs. Mining representatives makes that O(reps²) where all m
+    identical docs contribute 1 rep; the dropped pairs are recovered
+    EXACTLY afterwards by :func:`expand_collapsed_pairs` (identical token
+    streams ⟹ jaccard 1.0 / hamming 0 with each other, and the same
+    score as their rep against everything else), so the guard is
+    lossless, not a capped truncation.
+
+    Returns (rep_df, members): ``rep_df`` = the representative rows of
+    ``df`` (original columns), ``members`` = (_id, _rep) for every doc."""
+    keyed = _materialize(
+        df.select(F.col(id_col), F.col(text_col)).withColumn(
+            "_tfp", token_stream_key(text_col)
+        )
+    )
+    reps = keyed.groupBy("_tfp").agg(F.min(id_col).alias("_rep"))
+    members = keyed.join(reps, "_tfp").select(
+        F.col(id_col).alias("_id"), "_rep"
+    )
+    rep_df = keyed.drop("_tfp").join(
+        reps.select(F.col("_rep").alias(id_col)), id_col, "left_semi"
+    )
+    return rep_df, members
+
+
+def expand_collapsed_pairs(
+    rep_pairs: DataFrame,
+    members: DataFrame,
+    mined_reps: DataFrame,
+    score_col: str | None,
+    identical_score,
+) -> DataFrame:
+    """Expand representative-level pairs back to all-document pairs.
+
+    - cross-group: each (rep_a, rep_b, score) pair expands to every
+      (member_a, member_b) with the SAME score (identical token streams
+      score identically against any third doc).
+    - intra-group: all pairs within a multi-member group, scored
+      ``identical_score`` (jaccard 1.0 / hamming 0) — but only for
+      groups whose rep is in ``mined_reps`` (reps that actually produced
+      a signature/fingerprint row; empty-token or sub-shingle-length
+      docs never mine and must not pair, matching uncollapsed
+      behavior).
+
+    Output ids re-canonicalized to id_a < id_b."""
+    score = [F.col(score_col)] if score_col else []
+    ma = members.select(F.col("_rep").alias("id_a"), F.col("_id").alias("_a"))
+    mb = members.select(F.col("_rep").alias("id_b"), F.col("_id").alias("_b"))
+    cross = (
+        rep_pairs.join(ma, "id_a")
+        .join(mb, "id_b")
+        .select(
+            F.least("_a", "_b").alias("id_a"),
+            F.greatest("_a", "_b").alias("id_b"),
+            *score,
+        )
+    )
+    mm = members.join(
+        mined_reps.select(F.col(mined_reps.columns[0]).alias("_rep")),
+        "_rep",
+        "left_semi",
+    )
+    iscore = (
+        [F.lit(identical_score).alias(score_col)] if score_col else []
+    )
+    intra = (
+        mm.select("_rep", F.col("_id").alias("_a"))
+        .join(mm.select("_rep", F.col("_id").alias("_b")), "_rep")
+        .filter(F.col("_a") < F.col("_b"))
+        .select(
+            F.col("_a").alias("id_a"), F.col("_b").alias("id_b"), *iscore
+        )
+    )
+    return cross.unionByName(intra)
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, n: int = 3, num_hashes: int = 64
 ) -> DataFrame:
@@ -290,12 +447,44 @@ def minhash_lsh_pairs(
     bands: int = 16,
     threshold: float = 0.7,
     verify: bool = True,
+    collapse_identical: bool = True,
 ) -> DataFrame:
     """MinHash+LSH near-dup pairs: band-bucket candidates, optional exact
     Jaccard verification (join text back only for candidates).
 
     Returns (id_a, id_b[, jaccard]). With bands=16/num_hashes=64 (r=4),
-    collision prob at j=0.7 ≈ 0.98 — tune bands per target threshold."""
+    collision prob at j=0.7 ≈ 0.98 — tune bands per target threshold.
+
+    ``collapse_identical`` (default on) pre-collapses identical token
+    streams to one representative before banding and expands the pairs
+    back afterwards — the lossless band-bucket skew guard
+    (:func:`collapse_identical_docs`): m byte-identical docs cost O(m)
+    candidate rows instead of O(m²)-per-band."""
+    if collapse_identical:
+        rep_df, members = collapse_identical_docs(df, id_col, text_col)
+        rep_pairs = minhash_lsh_pairs(
+            rep_df,
+            id_col,
+            text_col,
+            n=n,
+            num_hashes=num_hashes,
+            bands=bands,
+            threshold=threshold,
+            verify=verify,
+            collapse_identical=False,
+        )
+        # reps that produce a signature: ≥1 shingle (docs shorter than the
+        # shingle length never enter the index and must not pair)
+        mined = rep_df.filter(
+            F.size(_shingles(text_col, n)) > 0
+        ).select(F.col(id_col))
+        return expand_collapsed_pairs(
+            rep_pairs,
+            members,
+            mined,
+            "jaccard" if verify else None,
+            1.0,
+        )
     rows_per_band = num_hashes // bands
     sig = _materialize(minhash_signatures(df, id_col, text_col, n, num_hashes))
     band_cols = [
@@ -474,6 +663,7 @@ def simhash_near_dup_pairs(
     n_bands: int | None = None,
     portable_hash: bool = False,
     n_words: int = 1,
+    collapse_identical: bool = True,
 ) -> DataFrame:
     """Near-dup pairs with Hamming(fingerprint) ≤ max_hamming.
 
@@ -490,7 +680,31 @@ def simhash_near_dup_pairs(
     the output then EQUALS the exact hamming-≤r pair set of the
     fingerprints (not a recall-lossy approximation). Fewer bands trade
     completeness for fewer candidate collisions; the round-1 default
-    (4 × 16-bit bands) is exhaustive only up to r=3."""
+    (4 × 16-bit bands) is exhaustive only up to r=3.
+
+    ``collapse_identical`` (default on): identical token streams mine as
+    one representative, pairs expanded back exactly afterwards (hamming 0
+    within a group; a member inherits its rep's hamming to everything
+    else) — see :func:`collapse_identical_docs` for the band-bucket skew
+    rationale."""
+    if collapse_identical:
+        rep_df, members = collapse_identical_docs(df, id_col, text_col)
+        rep_pairs = simhash_near_dup_pairs(
+            rep_df,
+            id_col,
+            text_col,
+            max_hamming=max_hamming,
+            n_bands=n_bands,
+            portable_hash=portable_hash,
+            n_words=n_words,
+            collapse_identical=False,
+        )
+        # reps that produce a fingerprint: ≥1 token (empty docs never
+        # enter the bit-vote agg and must not pair)
+        mined = rep_df.filter(F.size(tokens(text_col)) > 0).select(
+            F.col(id_col)
+        )
+        return expand_collapsed_pairs(rep_pairs, members, mined, "hamming", 0)
     if n_bands is None:
         n_bands = max_hamming + 1
     fps = _materialize(
@@ -530,42 +744,147 @@ def simhash_near_dup_pairs(
     )
 
 
+def _large_star(edges: DataFrame) -> DataFrame:
+    """One large-star round (Kiveris et al. 2014, "Connected Components
+    in MapReduce and Beyond"): for each node u with m = min(Γ(u) ∪ {u}),
+    connect every STRICTLY LARGER neighbor to m. Input/output edges are
+    canonical big→small rows (u > v), so the symmetric neighbor view is
+    rebuilt here. Emitted rows keep u > v (v > u ≥ m ⟹ v > m)."""
+    sym = edges.select("u", "v").unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    mins = (
+        sym.groupBy("u")
+        .agg(F.min("v").alias("_mn"))
+        .select("u", F.least(F.col("_mn"), F.col("u")).alias("m"))
+    )
+    return (
+        sym.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """One small-star round: for each node u, connect all of u's SMALLER
+    neighbors (and u itself) to their minimum. The canonical big→small
+    edge list IS the smaller-neighbor adjacency (each undirected edge is
+    stored exactly once as (big, small)), so no symmetric view is
+    needed. Output rows keep u > v."""
+    mins = edges.groupBy("u").agg(F.min("v").alias("m"))
+    nbr = (
+        edges.join(mins, "u")
+        .filter(F.col("v") != F.col("m"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
+    own = mins.select("u", F.col("m").alias("v"))
+    return nbr.unionByName(own).distinct()
+
+
+def _star_contraction(edges0: DataFrame, max_iters: int) -> DataFrame:
+    """Alternating large-star/small-star contraction: converges to per-
+    component stars centered on the component minimum in O(log n) rounds
+    REGARDLESS of graph diameter (the provable fix for chain-shaped dup
+    graphs, where min-label propagation needs O(diameter) rounds).
+    Fixpoint detection: the canonical edge set stops changing (count +
+    order-insensitive XOR-of-hashes signature — one tiny agg per round;
+    XOR, not sum, because ANSI mode makes a long sum overflow-raising
+    and the edge rows are distinct so cancellation can't collide).
+    Rounds are lineage-TRUNCATED (:func:`~pysemantic_spark.operators.
+    cache.truncate_lineage`), not merely persisted: persist leaves the
+    compounding plan for Catalyst to re-analyze every round, which grows
+    driver compile time superlinearly with round count."""
+    from pysemantic_spark.operators.cache import truncate_lineage
+
+    def sig(e: DataFrame) -> tuple:
+        r = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.bit_xor(F.xxhash64("u", "v")).alias("h"),
+        ).first()
+        return (r["n"], r["h"])
+
+    edges = truncate_lineage(edges0)
+    prev_sig = sig(edges)
+    for _ in range(max_iters):
+        new_edges = truncate_lineage(_small_star(_large_star(edges)))
+        new_sig = sig(new_edges)
+        edges = new_edges
+        if new_sig == prev_sig:
+            # star fixpoint: every row is (node, component_min)
+            return edges
+        prev_sig = new_sig
+    raise RuntimeError(
+        f"star contraction did not reach a fixpoint in {max_iters} rounds "
+        f"— this should not happen (O(log n) bound); raise max_iters"
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iters: int = 25,
+    algorithm: str = "label",
 ) -> DataFrame:
     """Duplicate-cluster assignment from a near-dup pair list: connected
-    components via min-label propagation. Returns (node, cluster_rep)
-    for every node appearing in ``pairs``; cluster_rep = the smallest
-    node id reachable through the pair graph, so each cluster has one
-    canonical representative (the training-data dedup contract: keep the
-    representative, drop the rest).
+    components. Returns (node, cluster_rep) for every node appearing in
+    ``pairs``; cluster_rep = the smallest node id reachable through the
+    pair graph, so each cluster has one canonical representative (the
+    training-data dedup contract: keep the representative, drop the
+    rest).
 
-    Plan per round: one join of the edge list against the current labels
-    + a min-agg per node, i.e. ~|E| shuffled rows keyed by node — no
-    driver-side graph. Labels are re-materialized (persist + previous
-    round released) each round so the lineage stays ONE round deep
-    instead of compounding; convergence is detected with a changed-label
-    count. Near-dup clusters are short-diameter by construction (a dup
-    cluster is near-cliquish), so rounds ≈ 3-5 in practice; the
-    ``max_iters`` bound guards adversarial chain graphs, where the known
-    upgrade is the O(log n)-round large-star/small-star algorithm
-    (Kiveris et al., "Connected Components in MapReduce and Beyond") on
-    the same join shape.
-    """
-    from pysemantic_spark.operators.cache import materialize
+    ``algorithm="label"`` — min-label propagation: one edge⋈labels join
+    + a min-agg per node per round (~|E| shuffled rows keyed by node, no
+    driver-side graph). Labels advance ONE hop per round, so rounds ≈
+    component diameter: 3-5 on near-cliquish dup clusters, but O(n) on
+    adversarial chains. If ``max_iters`` is exhausted before the
+    fixpoint this RAISES (labels would be silently wrong otherwise) and
+    names the fix: the star algorithm.
 
+    ``algorithm="star"`` — alternating large-star/small-star contraction
+    (Kiveris et al. 2014): O(log n) rounds regardless of diameter, same
+    per-round join shape. The scale-safe choice when cluster shapes are
+    unknown (crawl shingle chains, boilerplate drift).
+
+    Both truncate lineage per round (eager localCheckpoint) so each
+    round's plan — and Catalyst's per-round analysis cost — stays ONE
+    round deep instead of compounding."""
+    from pysemantic_spark.operators.cache import truncate_lineage
+
+    if algorithm not in ("label", "star"):
+        raise ValueError(f"unknown connected-components algorithm {algorithm!r}")
+    if algorithm == "star":
+        edges0 = (
+            pairs.select(
+                F.greatest(F.col(id_a), F.col(id_b)).alias("u"),
+                F.least(F.col(id_a), F.col(id_b)).alias("v"),
+            )
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        stars = _star_contraction(edges0, max_iters)
+        nodes = (
+            pairs.select(F.col(id_a).alias("node"))
+            .unionByName(pairs.select(F.col(id_b).alias("node")))
+            .distinct()
+        )
+        return nodes.join(
+            stars.select(F.col("u").alias("node"), F.col("v").alias("_rep")),
+            "node",
+            "left",
+        ).select(
+            "node", F.coalesce(F.col("_rep"), F.col("node")).alias("cluster_rep")
+        )
     edges = _materialize(
         pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v")).unionByName(
             pairs.select(F.col(id_b).alias("u"), F.col(id_a).alias("v"))
         )
     )
-    labels = materialize(
+    labels = truncate_lineage(
         edges.select("u").distinct().withColumn("label", F.col("u"))
     )
-    labels.count()
+    changed = 0
     for _ in range(max_iters):
         neighbor_min = (
             edges.join(
@@ -577,7 +896,7 @@ def connected_components(
             .groupBy("u")
             .agg(F.min("vlabel").alias("nmin"))
         )
-        new_labels = materialize(
+        new_labels = truncate_lineage(
             labels.join(neighbor_min, "u", "left").select(
                 "u",
                 F.least(
@@ -591,8 +910,14 @@ def connected_components(
             .filter(F.col("n.label") != F.col("o.label"))
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        raise RuntimeError(
+            f"connected_components(algorithm='label') did not converge in "
+            f"{max_iters} rounds ({changed} labels still changing) — the "
+            f"component diameter exceeds max_iters; use algorithm='star' "
+            f"(O(log n) rounds) or raise max_iters"
+        )
     return labels.select(F.col("u").alias("node"), F.col("label").alias("cluster_rep"))

@@ -216,9 +216,12 @@ def validate(
         dupes = d if dupes is None else dupes.unionByName(d, allowMissingColumns=True)
         # keep-first dedup, but ONLY dup-key rows enter the window shuffle:
         # unique keys (the overwhelming majority) pass through untouched.
+        # NULL-safe split: NULL keys group together (window semantics),
+        # they don't all survive via a never-matching equi anti-join.
+        from pysemantic_spark.operators.dedup import split_by_dup_keys
+
         dup_keys = d.select(*key)
-        dup_part = clean.join(dup_keys, on=key, how="left_semi")
-        uniq_part = clean.join(dup_keys, on=key, how="left_anti")
+        dup_part, uniq_part = split_by_dup_keys(clean, dup_keys, list(key))
         if plan.spec.order_by:
             order = [F.col(c) for c in plan.spec.order_by]
         else:

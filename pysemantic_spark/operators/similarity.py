@@ -484,15 +484,27 @@ def ivf_topk(
     n_centroids: int = 16,
     n_probe: int = 1,
     seed: int = 42,
+    sample_fraction: float | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: score only corpus rows in the query's
     ``n_probe`` nearest coarse clusters. Complements the hyperplane-LSH
     variant; both reduce the candidate set before the exact cosine scoring.
     Probing expands ONLY the broadcast query side (n_probe rows per query);
     each corpus row lives in exactly one cluster, so a (query, corpus) pair
-    matches at most once — no candidate dedup needed."""
+    matches at most once — no candidate dedup needed.
+
+    ``sample_fraction`` flows to :func:`train_ivf_centroids`: set it when
+    the training sample SET must be partition-layout-independent (an
+    unordered limit() prefix depends on scan order; a seeded Bernoulli
+    sample does not) — e.g. any oracle-gated or reproducibility-sensitive
+    run."""
     cents = train_ivf_centroids(
-        corpus, dim, n_centroids=n_centroids, vec_col=vec_col, seed=seed
+        corpus,
+        dim,
+        n_centroids=n_centroids,
+        vec_col=vec_col,
+        seed=seed,
+        sample_fraction=sample_fraction,
     )
     from pysemantic_spark.operators.dedup import _materialize
 

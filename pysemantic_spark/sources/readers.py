@@ -53,20 +53,60 @@ def register_converter(name: str, fn: Callable[[pd.Series], pd.Series]) -> None:
     CONVERTER_REGISTRY[name] = fn
 
 
+# Modules (prefix match on dotted segments) a spec file may name in a
+# ``module:function`` converter reference. Importing a module runs
+# arbitrary code, so an UNRESTRICTED dotted path would let any untrusted
+# YAML spec execute whatever is on sys.path at compile time — the exact
+# hole the whitelisted !!python/name loader in spec.py closes. Engine code
+# opts additional trusted prefixes in via allow_converter_modules(); the
+# PYSEMANTIC_SPARK_CONVERTER_MODULES env var (colon-separated prefixes)
+# covers spark-submit deployments where the spec and job config travel
+# together.
+ALLOWED_CONVERTER_MODULES: list[str] = ["pysemantic_spark"]
+
+
+def allow_converter_modules(*prefixes: str) -> None:
+    """Opt trusted module prefixes into dotted-path converter resolution."""
+    for p in prefixes:
+        if p not in ALLOWED_CONVERTER_MODULES:
+            ALLOWED_CONVERTER_MODULES.append(p)
+
+
+def _converter_module_allowed(mod_name: str) -> bool:
+    allowed = list(ALLOWED_CONVERTER_MODULES)
+    env = os.environ.get("PYSEMANTIC_SPARK_CONVERTER_MODULES", "")
+    allowed += [p for p in env.split(":") if p]
+    return any(
+        mod_name == p or mod_name.startswith(p + ".") for p in allowed
+    )
+
+
 def resolve_converter(name: str) -> Callable[[pd.Series], pd.Series]:
-    """Registry lookup, with a ``module.sub:function`` dotted-path escape.
+    """Registry lookup, with an allowlist-gated ``module.sub:function``
+    dotted-path escape.
 
     The reference's converters are arbitrary YAML-referenced callables
     (SURVEY §2.2 C10, SchemaValidator.converters ≈L140). The registry is
     the safe default; the dotted path lets a spec-file-only user reference
     their own vectorized Series→Series function without touching engine
     code — resolved at COMPILE time so a typo fails the spec, not a task.
-    The resolved callable must still be importable on executors (ship it
-    with --py-files), same contract as any pandas_udf."""
+    Only modules opted in via :func:`allow_converter_modules` (or the
+    PYSEMANTIC_SPARK_CONVERTER_MODULES env var) resolve, so an untrusted
+    spec file cannot trigger arbitrary imports. The resolved callable must
+    still be importable on executors (ship it with --py-files), same
+    contract as any pandas_udf."""
     if name in CONVERTER_REGISTRY:
         return CONVERTER_REGISTRY[name]
     if ":" in name:
         mod_name, _, fn_name = name.partition(":")
+        if not _converter_module_allowed(mod_name):
+            raise ParserArgumentError(
+                f"converter {name!r}: module {mod_name!r} is not on the "
+                f"converter allowlist — call allow_converter_modules"
+                f"({mod_name.split('.')[0]!r}) in engine code or set "
+                f"PYSEMANTIC_SPARK_CONVERTER_MODULES (untrusted spec files "
+                f"must not name arbitrary import paths)"
+            )
         import importlib
 
         try:
@@ -82,8 +122,8 @@ def resolve_converter(name: str) -> Callable[[pd.Series], pd.Series]:
             )
         return fn
     raise ParserArgumentError(
-        f"unknown converter {name!r} (not registered; dotted 'module:function' "
-        f"paths are accepted)"
+        f"unknown converter {name!r} (not registered; allowlisted "
+        f"'module:function' dotted paths are accepted)"
     )
 
 

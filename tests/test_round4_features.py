@@ -254,12 +254,16 @@ def test_dotted_path_converter(spark, tmp_path):
     assert got == ["Alice M", "bob"]
 
 
-def test_dotted_path_converter_bad_path_fails_at_compile(spark, tmp_path):
+def test_dotted_path_converter_bad_path_fails_at_compile(spark, tmp_path, monkeypatch):
     from pysemantic_spark.errors import ParserArgumentError
     from pysemantic_spark.sources.readers import resolve_converter
 
     with pytest.raises(ParserArgumentError, match="cannot import"):
-        resolve_converter("no_such_module_xyz:fn")
+        resolve_converter("pysemantic_spark.no_such_module_xyz:fn")
+    # round-5: non-allowlisted modules are rejected BEFORE import
+    with pytest.raises(ParserArgumentError, match="allowlist"):
+        resolve_converter("os:not_a_function_xyz")
+    monkeypatch.setenv("PYSEMANTIC_SPARK_CONVERTER_MODULES", "os")
     with pytest.raises(ParserArgumentError, match="no callable"):
         resolve_converter("os:not_a_function_xyz")
     with pytest.raises(ParserArgumentError, match="unknown converter"):

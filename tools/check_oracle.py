@@ -91,11 +91,24 @@ def main(sf_dir: str = "/root/testdata/sf0.01", only: list[str] | None = None) -
 
 
 if __name__ == "__main__":
-    # args: [sf_dir] [query,names] in either order — a path-looking arg is
-    # the sf dir, anything else the comma-separated query filter
-    sf_dir, only = "/root/testdata/sf0.01", None
-    for a in sys.argv[1:]:
-        if os.path.sep in a or os.path.isdir(a):
+    import argparse
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument(
+        "--sf-dir", default="/root/testdata/sf0.01", help="parquet fixture dir"
+    )
+    ap.add_argument(
+        "--only", default=None, help="comma-separated query-name filter"
+    )
+    # positional compatibility: an arg containing a path separator (or
+    # starting with '.') is the sf dir; anything else is the query filter.
+    # Unlike isdir() sniffing, a filter name that happens to match a
+    # directory under the cwd is never mistaken for the data dir.
+    ap.add_argument("legacy", nargs="*", help="[sf_dir] [query,names]")
+    ns = ap.parse_args()
+    sf_dir, only = ns.sf_dir, ns.only.split(",") if ns.only else None
+    for a in ns.legacy:
+        if os.path.sep in a or a.startswith("."):
             sf_dir = a
         else:
             only = a.split(",")
