@@ -119,6 +119,11 @@ def main() -> None:
         "dedup_clusters_documents",
         "corpus_clean_documents",
     ]
+    # every queries() entry is benched: the explicit list pins the
+    # historical comparison order, and anything newer (or previously
+    # un-benched — a 10× regression there would otherwise be invisible)
+    # is appended automatically
+    headline += sorted(set(qs) - set(headline))
     # Intermediate-cache discipline: the wrapped queries() callables release
     # the PREVIOUS query's persisted intermediates on entry (bounded storage
     # in long sessions). For timing we manage release explicitly instead:
@@ -145,19 +150,30 @@ def main() -> None:
     release_intermediates()
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "bench_total_sec",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "transcript_rows": n_turns,
-                "validated_turns_per_sec": round(turns_per_sec),
-            }
-        )
+    out = {
+        "metric": "bench_total_sec",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "transcript_rows": n_turns,
+        "validated_turns_per_sec": round(turns_per_sec),
+    }
+    # standing north-star row: fold in the latest 60M-row scaling run's 4N
+    # wall time (written by bench_scaling.py) so the workload the north
+    # rule is actually about has a tracked round-over-round trend
+    scaling_json = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH", "scaling_latest.json"
     )
+    if os.path.exists(scaling_json):
+        with open(scaling_json) as f:
+            s = json.load(f)
+        out["transcripts_60m_4n_sec"] = s["local_4n"]["median_sec"]
+        out["transcripts_60m_rows"] = s["local_4n"]["rows"]
+        out["scaling_efficiency_min"] = s.get("scaling_efficiency_min")
+        out["scaling_efficiency_median"] = s.get("scaling_efficiency_median")
+        out["scaling_measured_at"] = s.get("measured_at")
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -284,6 +284,13 @@ def main() -> None:
     }
     print(json.dumps(report))
     _write_md(report)
+    # machine-readable artifact: bench.py folds the 4N wall time into each
+    # round's BENCH JSON (`transcripts_60m_4n_sec`) so the north-star-shaped
+    # 60M-row workload has a tracked round-over-round trend, not just the
+    # sf0.1 fixture queries
+    report["measured_at"] = time.strftime("%Y-%m-%dT%H:%M:%S")
+    with open(os.path.join(REPO, "BENCH", "scaling_latest.json"), "w") as f:
+        json.dump(report, f, indent=1)
 
 
 def _write_md(r: dict) -> None:

@@ -10,6 +10,7 @@ plus the scale-era ``validate`` job entry for spark-submit.
     python -m pysemantic_spark.cli export <project> <dataset> <outpath>
     python -m pysemantic_spark.cli drift-baseline --source P --columns a,b \
         --out baseline.json [--n-bins 64]
+    python -m pysemantic_spark.cli requalify --table T [--bucket N ...]
     python -m pysemantic_spark.cli validate --spec S --dataset D --table T \
         --out OUT [--resume] [--buckets N] [--chunk-size K]
 
@@ -57,6 +58,16 @@ def main(argv: list[str] | None = None) -> int:
     db.add_argument("--out", required=True, help="baseline sketch JSON path")
     db.add_argument("--n-bins", type=int, default=64)
 
+    rq = sub.add_parser(
+        "requalify",
+        help="return quarantined (drift-parked) buckets to the validation "
+             "pool after the drift baseline has been refreshed",
+    )
+    rq.add_argument("--table", required=True, help="bucketed table root")
+    rq.add_argument("--bucket", action="append", type=int, default=[],
+                    metavar="N", help="bucket id (repeatable; default: all "
+                    "quarantined)")
+
     v = sub.add_parser("validate")
     v.add_argument("--spec", required=True, help="YAML data dictionary")
     v.add_argument("--dataset", required=True, help="dataset name in the spec")
@@ -94,9 +105,31 @@ def main(argv: list[str] | None = None) -> int:
         return _bucketize(args)
     if args.cmd == "drift-baseline":
         return _drift_baseline(args)
+    if args.cmd == "requalify":
+        return _requalify(args)
     if args.cmd == "validate":
         return _validate(args)
     return 2
+
+
+def _requalify(args) -> int:
+    # pure manifest edit — no Spark session needed
+    from pysemantic_spark.sources.tableio import ParquetManifestIO, requalify_buckets
+
+    io = ParquetManifestIO(args.table)
+    try:
+        requalified = requalify_buckets(io, args.bucket or None)
+    except ValueError as e:
+        print(str(e), file=sys.stderr)
+        return 1
+    m = io.load_manifest()
+    print(json.dumps({
+        "table": args.table,
+        "requalified": requalified,
+        "still_quarantined": m.quarantined(),
+        "pending": m.pending(),
+    }))
+    return 0
 
 
 def _drift_baseline(args) -> int:
@@ -166,6 +199,7 @@ def _validate(args) -> int:
     summary = {
         "processed_buckets": len(out["processed"]),
         "skipped_buckets": len(out["skipped"]),
+        "quarantined_buckets": len(out.get("quarantined", [])),
         "n_rows": sum(e.n_rows for e in m.entries.values()),
         "n_violating_rows": sum(e.n_violating_rows for e in m.entries.values()),
         "all_passed": all(e.passed for e in m.entries.values() if e.status == "done"),

@@ -174,6 +174,44 @@ class ParquetManifestIO:
         return hashlib.md5("|".join(parts).encode()).hexdigest()
 
 
+def requalify_buckets(
+    io: "ParquetManifestIO", buckets: list[int] | None = None
+) -> list[int]:
+    """Return quarantined buckets to the validation pool: the operator
+    half of the quarantine lifecycle. ``on_drift: quarantine`` parks a
+    drifted bucket (status="quarantined"; pending() skips it) until a
+    human decides the drift is expected and refreshes the baseline —
+    this call then flips the status back to "pending" so the next
+    ``run_resumable`` revalidates it against the new baseline.
+
+    ``buckets=None`` requalifies every quarantined bucket; an explicit
+    list must name only quarantined buckets (naming a done/pending one
+    raises — requalify is a quarantine-release action, not a generic
+    status reset; use the CLI validate without --resume for a full
+    re-run). Drift evidence recorded in entry.stats is kept for audit.
+    Returns the buckets requalified."""
+    manifest = io.load_manifest()
+    quarantined = set(manifest.quarantined())
+    if buckets is None:
+        targets = sorted(quarantined)
+    else:
+        bad = [b for b in buckets if b not in quarantined]
+        if bad:
+            states = {
+                b: manifest.entries.get(b, BucketEntry(b)).status for b in bad
+            }
+            raise ValueError(
+                f"requalify: buckets {states} are not quarantined — only "
+                f"parked buckets can be requalified (quarantined: "
+                f"{sorted(quarantined)})"
+            )
+        targets = sorted(set(buckets))
+    for b in targets:
+        manifest.entries[b].status = "pending"
+    io.save_manifest(manifest)
+    return targets
+
+
 class IcebergIO:
     """Iceberg-backed variant: same interface, activates when the runtime
     jar + catalog are configured (real cluster). Bucketing uses the native

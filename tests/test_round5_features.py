@@ -234,6 +234,69 @@ def test_collapse_candidate_volume_is_linear(spark):
 
 
 # ---------------------------------------------------------------------------
+# quarantine lifecycle: park → refresh baseline → requalify → resume
+# ---------------------------------------------------------------------------
+
+def test_quarantine_requalify_lifecycle(spark, tmp_path):
+    import numpy as np
+
+    from pysemantic_spark.operators.drift import save_drift_baseline
+    from pysemantic_spark.sources.tableio import (
+        ParquetManifestIO,
+        requalify_buckets,
+        run_resumable,
+    )
+    from pysemantic_spark.spec import DatasetSpec
+
+    rng = np.random.default_rng(6)
+    base = spark.createDataFrame(
+        pd.DataFrame({"v": rng.normal(100, 10, 4000), "k": range(4000)})
+    )
+    shifted_pdf = pd.DataFrame(
+        {"v": rng.normal(170, 10, 4000), "k": range(4000)}
+    )
+    shifted = spark.createDataFrame(shifted_pdf)
+    bl = str(tmp_path / "bl.json")
+    save_drift_baseline(base, ["v"], bl)
+    spec = DatasetSpec.from_dict(
+        "t",
+        {
+            "column_rules": {"v": {"min": 0.0}},
+            "drift": {"columns": ["v"], "baseline": bl,
+                      "on_drift": "quarantine"},
+        },
+    )
+    io = ParquetManifestIO(str(tmp_path / "tbl"))
+    io.write_bucketed(shifted, "k", 4)
+    first = run_resumable(spark, io, spec, chunk_size=4)
+    assert sorted(first["quarantined"]) == [0, 1, 2, 3]
+
+    # naming a non-quarantined bucket is rejected
+    with pytest.raises(ValueError, match="not quarantined"):
+        requalify_buckets(io, [0, 99])
+
+    # operator accepts the drift: refresh the baseline from the new data,
+    # then requalify — CLI verb for two buckets, API for the rest
+    save_drift_baseline(shifted, ["v"], bl)
+    from pysemantic_spark.cli import main as cli_main
+
+    assert cli_main(
+        ["requalify", "--table", io.root, "--bucket", "0", "--bucket", "1"]
+    ) == 0
+    m = io.load_manifest()
+    assert sorted(m.pending()) == [0, 1]
+    assert sorted(m.quarantined()) == [2, 3]
+    assert requalify_buckets(io) == [2, 3]          # rest, default=all
+
+    # resume revalidates ALL requalified buckets against the new baseline
+    second = run_resumable(spark, io, spec, chunk_size=4)
+    assert sorted(second["processed"]) == [0, 1, 2, 3]
+    assert second["quarantined"] == []
+    m = io.load_manifest()
+    assert all(e.status == "done" for e in m.entries.values())
+
+
+# ---------------------------------------------------------------------------
 # deterministic IVF training sample
 # ---------------------------------------------------------------------------
 
