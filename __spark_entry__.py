@@ -431,6 +431,25 @@ def q_dedup_clusters_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_clusters_star_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same duplicate-cluster contract as `dedup_clusters_documents`, but
+    via the ALTERNATING LARGE-STAR/SMALL-STAR contraction (Kiveris et
+    al. 2014, dedup.connected_components algorithm="star") — the
+    O(log n)-round algorithm that stays bounded on adversarial chain
+    diameters where one-hop label propagation needs O(diameter) rounds
+    (and, since round 5, raises). Both algorithms must converge to the
+    SAME fixpoint, so this query shares the recursive-CTE transitive-
+    closure oracle — the label/star agreement is itself oracle-checked."""
+    docs = _read(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.5, prefix_filter=True
+    )
+    return dedup.connected_components(pairs, algorithm="star").select(
+        F.col("node").cast("long").alias("doc_id"),
+        F.col("cluster_rep").cast("long").alias("cluster_rep"),
+    )
+
+
 def q_corpus_clean_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end corpus CLEANING in one declarative plan — the composed
     pretraining-filter pipeline: quality gate (round-6 score ≥ 0.45) →
@@ -800,6 +819,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "simhash_wide_documents": q_simhash_wide_documents,
         "salted_user_counts_events": q_salted_user_counts_events,
         "dedup_clusters_documents": q_dedup_clusters_documents,
+        "dedup_clusters_star_documents": q_dedup_clusters_star_documents,
         "corpus_clean_documents": q_corpus_clean_documents,
     }
 
@@ -1058,7 +1078,7 @@ def oracle_sql() -> dict[str, str]:
         JOIN sizes sb ON sb.doc_id = id_b
         WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.12
     """
-    return {
+    d = {
         "stats_lineitem": """
             SELECT col AS "column", n_rows, n_nulls, min_v, max_v FROM (
               SELECT 'l_quantity' AS col, count(*) AS n_rows,
@@ -1469,3 +1489,7 @@ def oracle_sql() -> dict[str, str]:
         "lsh_topk_embeddings": _topk_gate_sql("recall@5 >= 0.6 per query"),
         "ivf_topk_embeddings": _topk_gate_sql("recall@5 >= 0.4 per query"),
     }
+    # label propagation and star contraction must reach the SAME fixpoint,
+    # so the star query shares the transitive-closure oracle verbatim
+    d["dedup_clusters_star_documents"] = d["dedup_clusters_documents"]
+    return d
