@@ -209,10 +209,23 @@ def ngram_jaccard_pairs(
     threshold: float = 0.7,
     max_shingle_freq: int | None = None,
     prefix_filter: bool | None = None,
+    collapse_identical: bool = True,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via inverted-index self-join.
 
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold.
+
+    ``collapse_identical`` (default on) pre-collapses identical token
+    streams to one representative and expands pairs back afterwards —
+    the same lossless band/index skew guard as the MinHash/SimHash
+    miners (:func:`collapse_identical_docs`): m byte-identical docs
+    share EVERY (prefix) shingle, so uncollapsed they are O(m²)
+    candidate pairs on every shared index key; collapsed they are one
+    rep. For identical docs whose every common shingle exceeds a
+    ``max_shingle_freq`` stop-cap this is strictly MORE complete than
+    uncollapsed mining (the cap could previously drop such a pair — the
+    documented lossy corner of the counting path); intra-group pairs
+    carry jaccard 1.0 by construction.
 
     Two exact plans, chosen by the threshold (``prefix_filter=None``,
     the default, picks automatically; True/False force):
@@ -236,6 +249,24 @@ def ngram_jaccard_pairs(
       missed; the prefix path needs no cap to be exact).
 
     No crossJoin in either plan."""
+    if collapse_identical:
+        rep_df, members = collapse_identical_docs(df, id_col, text_col)
+        rep_pairs = ngram_jaccard_pairs(
+            rep_df,
+            id_col,
+            text_col,
+            n=n,
+            threshold=threshold,
+            max_shingle_freq=max_shingle_freq,
+            prefix_filter=prefix_filter,
+            collapse_identical=False,
+        )
+        mined = rep_df.filter(
+            F.size(_shingles(text_col, n)) > 0
+        ).select(F.col(id_col))
+        return expand_collapsed_pairs(
+            rep_pairs, members, mined, "jaccard", 1.0
+        )
     if prefix_filter is None:
         prefix_filter = threshold >= 0.35
     sh = _materialize(

@@ -233,6 +233,45 @@ def test_collapse_candidate_volume_is_linear(spark):
     assert out.count() == m * (m - 1) // 2
 
 
+@pytest.mark.parametrize("prefix_filter", [True, False])
+def test_ngram_collapse_matches_uncollapsed(spark, prefix_filter):
+    df = _docs(spark)
+    kw = dict(n=3, threshold=0.5, prefix_filter=prefix_filter)
+    on = _pairset(
+        dedup.ngram_jaccard_pairs(df, "doc_id", "text", **kw), "jaccard"
+    )
+    off = _pairset(
+        dedup.ngram_jaccard_pairs(
+            df, "doc_id", "text", collapse_identical=False, **kw
+        ),
+        "jaccard",
+    )
+    assert on == off
+    for a, b in itertools.combinations(range(8), 2):
+        assert (a, b, 1.0) in on
+    assert not any(a == 300 or b == 300 for a, b, _ in on)
+
+
+def test_ngram_collapse_survives_stop_cap(spark):
+    """Identical docs whose every shingle is stop-capped previously could
+    not pair in the counting path (documented lossy corner); the collapse
+    guard recovers them exactly."""
+    body = " ".join(f"w{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [(i, body) for i in range(5)], "doc_id long, text string"
+    )
+    got = _pairset(
+        dedup.ngram_jaccard_pairs(
+            df, "doc_id", "text", n=3, threshold=0.9,
+            max_shingle_freq=2, prefix_filter=False,
+        ),
+        "jaccard",
+    )
+    assert got == {
+        (a, b, 1.0) for a, b in itertools.combinations(range(5), 2)
+    }
+
+
 # ---------------------------------------------------------------------------
 # quarantine lifecycle: park → refresh baseline → requalify → resume
 # ---------------------------------------------------------------------------
