@@ -79,12 +79,17 @@ def main() -> None:
 
     timings: dict[str, float] = {}
 
-    # median of 3: local-mode JIT/GC variance on the full-width pass is high
+    # 1 warmup + median of 3 timed runs — same warm-engine contract as
+    # every other query below. The first validate run pays ~6 s of
+    # codegen/JIT for the full-width fused projection (measured cold
+    # 10.1 s vs warm 3.6-4.7 s on a quiet host); including it in the
+    # median made rounds 3-5 report the compile cost, not the plan.
     runs = []
-    for _ in range(3):
+    for i in range(4):
         t0 = time.time()
         n_turns = validate_transcripts(spark, tpath, dpath)
-        runs.append(time.time() - t0)
+        if i:
+            runs.append(time.time() - t0)
     timings["validate_transcripts"] = round(sorted(runs)[1], 3)
     turns_per_sec = n_turns / timings["validate_transcripts"]
 
