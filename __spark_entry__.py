@@ -433,18 +433,23 @@ def q_dedup_clusters_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_dedup_clusters_star_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same duplicate-cluster contract as `dedup_clusters_documents`, but
-    via the ALTERNATING LARGE-STAR/SMALL-STAR contraction (Kiveris et
-    al. 2014, dedup.connected_components algorithm="star") — the
-    O(log n)-round algorithm that stays bounded on adversarial chain
-    diameters where one-hop label propagation needs O(diameter) rounds
-    (and, since round 5, raises). Both algorithms must converge to the
-    SAME fixpoint, so this query shares the recursive-CTE transitive-
-    closure oracle — the label/star agreement is itself oracle-checked."""
+    via the SCALE composition `dedup.duplicate_clusters`: identical
+    token streams collapse to representatives, ngram pairs are mined
+    among reps only, connected components run on the rep graph with the
+    ALTERNATING LARGE-STAR/SMALL-STAR contraction (Kiveris et al. 2014 —
+    O(log n) rounds on any diameter, where one-hop label propagation
+    needs O(diameter) and, since round 5, raises), and members inherit
+    their rep's cluster by join — so a million-clone boilerplate group
+    costs O(m) rows end-to-end instead of an m²/2-edge pair list. The
+    result must be row-identical to the pair-list + label-propagation
+    path, so this query shares the recursive-CTE transitive-closure
+    oracle — the agreement of the two pipelines is itself
+    oracle-checked."""
     docs = _read(spark, sf_dir, "documents")
-    pairs = dedup.ngram_jaccard_pairs(
-        docs, "doc_id", "text", n=3, threshold=0.5, prefix_filter=True
-    )
-    return dedup.connected_components(pairs, algorithm="star").select(
+    return dedup.duplicate_clusters(
+        docs, "doc_id", "text", n=3, threshold=0.5,
+        algorithm="star", prefix_filter=True,
+    ).select(
         F.col("node").cast("long").alias("doc_id"),
         F.col("cluster_rep").cast("long").alias("cluster_rep"),
     )

@@ -775,6 +775,71 @@ def simhash_near_dup_pairs(
     )
 
 
+def duplicate_clusters(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    algorithm: str = "star",
+    max_iters: int = 25,
+    **ngram_kw,
+) -> DataFrame:
+    """Document → duplicate-cluster assignment WITHOUT materializing the
+    all-pairs list: the composition a 10⁹-doc dedup actually wants.
+
+    ``pairs → connected_components`` is exact but its input is the pair
+    LIST, and a group of m byte-identical documents contributes
+    m(m−1)/2 intra-group pairs — at crawl scale a million-clone
+    boilerplate group alone is 5×10¹¹ edge rows before clustering even
+    starts. This operator never builds them: identical token streams
+    collapse to one representative (:func:`collapse_identical_docs`),
+    ngram-Jaccard pairs are mined among REPRESENTATIVES only, connected
+    components run on that rep graph, and members inherit their rep's
+    cluster with one join. Since each rep is the MINIMUM id of its
+    group, the rep-graph cluster minimum equals the full-graph cluster
+    minimum, so the output is row-identical to
+    ``connected_components(ngram_jaccard_pairs(df, ...))`` — including
+    membership semantics: docs in a multi-member identical group belong
+    to a cluster even when their rep has no cross-group pair (they pair
+    with each other), docs too short to produce a shingle never cluster,
+    and singleton docs with no qualifying pair are absent.
+
+    Returns (node, cluster_rep). Property-tested equal to the pair-list
+    path on mixed clone/near-dup corpora."""
+    rep_df, members = collapse_identical_docs(df, id_col, text_col)
+    rep_pairs = ngram_jaccard_pairs(
+        rep_df,
+        id_col,
+        text_col,
+        n=n,
+        threshold=threshold,
+        collapse_identical=False,
+        **ngram_kw,
+    )
+    rep_labels = connected_components(
+        rep_pairs, algorithm=algorithm, max_iters=max_iters
+    ).select(F.col("node").alias("_rep"), "cluster_rep")
+    # multi-member groups cluster even with no cross-group pair — but only
+    # if the group produces shingles (sub-shingle-length docs never pair)
+    mined = rep_df.filter(F.size(_shingles(text_col, n)) > 0).select(
+        F.col(id_col).alias("_rep")
+    )
+    gsize = members.groupBy("_rep").agg(F.count(F.lit(1)).alias("_gs"))
+    eligible = (
+        members.join(gsize, "_rep")
+        .join(rep_labels, "_rep", "left")
+        .filter(
+            F.col("cluster_rep").isNotNull() | (F.col("_gs") > 1)
+        )
+    )
+    eligible = eligible.join(mined, "_rep", "left_semi")
+    return eligible.select(
+        F.col("_id").alias("node"),
+        F.coalesce(F.col("cluster_rep"), F.col("_rep")).alias("cluster_rep"),
+    )
+
+
 def _large_star(edges: DataFrame) -> DataFrame:
     """One large-star round (Kiveris et al. 2014, "Connected Components
     in MapReduce and Beyond"): for each node u with m = min(Γ(u) ∪ {u}),

@@ -336,6 +336,52 @@ def test_quarantine_requalify_lifecycle(spark, tmp_path):
 
 
 # ---------------------------------------------------------------------------
+# duplicate_clusters: cluster assignment without the O(m²) pair list
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("algorithm", ["label", "star"])
+def test_duplicate_clusters_equals_pairlist_path(spark, algorithm):
+    df = _docs(spark)  # 8 clones + near-dup + unrelated + 2 short clones
+    kw = dict(n=3, threshold=0.5)
+    exp = {
+        (r["node"], r["cluster_rep"])
+        for r in dedup.connected_components(
+            dedup.ngram_jaccard_pairs(df, "doc_id", "text", **kw),
+            max_iters=50,
+        ).collect()
+    }
+    got = {
+        (r["node"], r["cluster_rep"])
+        for r in dedup.duplicate_clusters(
+            df, "doc_id", "text", algorithm=algorithm, **kw
+        ).collect()
+    }
+    assert got == exp
+    # the 8-clone group + its near-dup form one cluster repped by doc 0
+    assert {(i, 0) for i in range(8)} <= got
+    assert (100, 0) in got
+    # short clones never shingle → never cluster
+    assert not any(n_ in (300, 301) for n_, _ in got)
+
+
+def test_duplicate_clusters_clone_group_without_cross_pairs(spark):
+    """A clone group with no near-dup partner still clusters (its members
+    pair with each other in the uncollapsed view) — without any pair list
+    being materialized."""
+    body = " ".join(f"tok{i}" for i in range(12))
+    df = spark.createDataFrame(
+        [(i, body) for i in range(4)]
+        + [(50, "completely different content on an unrelated topic entirely")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["node"], r["cluster_rep"])
+        for r in dedup.duplicate_clusters(df, "doc_id", "text").collect()
+    }
+    assert got == {(0, 0), (1, 0), (2, 0), (3, 0)}
+
+
+# ---------------------------------------------------------------------------
 # deterministic IVF training sample
 # ---------------------------------------------------------------------------
 
