@@ -335,6 +335,53 @@ def test_quarantine_requalify_lifecycle(spark, tmp_path):
     assert all(e.status == "done" for e in m.entries.values())
 
 
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_corpus_strategy = st.lists(
+    st.tuples(
+        # doc body: 4-9 tokens from a tiny vocab (forces shared shingles)
+        st.lists(
+            st.sampled_from([f"w{i}" for i in range(12)]),
+            min_size=4,
+            max_size=9,
+        ),
+        # clone multiplicity: how many byte-identical copies of this body
+        st.integers(min_value=1, max_value=5),
+    ),
+    min_size=2,
+    max_size=6,
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(corpus=_corpus_strategy)
+def test_collapse_guard_property_minhash(spark, corpus):
+    """For ARBITRARY clone-heavy corpora, collapsed and uncollapsed
+    MinHash mining yield the identical pair set with identical scores."""
+    rows, nid = [], 0
+    for body, mult in corpus:
+        for _ in range(mult):
+            rows.append((nid, " ".join(body)))
+            nid += 1
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kw = dict(n=2, num_hashes=16, bands=8, threshold=0.4)
+    on = _pairset(
+        dedup.minhash_lsh_pairs(df, "doc_id", "text", **kw), "jaccard"
+    )
+    off = _pairset(
+        dedup.minhash_lsh_pairs(
+            df, "doc_id", "text", collapse_identical=False, **kw
+        ),
+        "jaccard",
+    )
+    assert on == off
+
+
 # ---------------------------------------------------------------------------
 # duplicate_clusters: cluster assignment without the O(m²) pair list
 # ---------------------------------------------------------------------------
