@@ -291,6 +291,11 @@ def _exact_topk5(spark: SparkSession, sf_dir: str) -> DataFrame:
     timing measures the real brute-force plan, not a memo replay."""
     key = (os.path.abspath(sf_dir), _source_fingerprint(sf_dir, "embeddings"))
     if key not in _EXACT_TOPK_MEMO:
+        # one live fingerprint per sf_dir: a long-lived session that
+        # repeatedly refreshes the fixture would otherwise accrete one dead
+        # (pandas, schema) entry per refresh (round-5 ADVICE)
+        for stale in [k for k in _EXACT_TOPK_MEMO if k[0] == key[0]]:
+            del _EXACT_TOPK_MEMO[stale]
         emb = _read(spark, sf_dir, "embeddings").withColumn(
             "embedding", F.col("embedding").cast("array<double>")
         )
@@ -498,6 +503,30 @@ def q_salted_user_counts_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("user_id", F.col("cnt").cast("long").alias("cnt"))
 
 
+def q_skewed_user_counts_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pathological-skew stress twin of `salted_user_counts_events`: every
+    user_id divisible by 10 is folded into ONE mega-key (0), so the
+    hottest key holds ~10% of all rows — the north_rule's "one skewed
+    conversation" shape, deliberately worse than the fixture's natural
+    distribution. The salted two-stage plan (partial count per (key,
+    salt_16) → final sum per key) must still equal a plain GROUP BY —
+    value-oracled. bench.py additionally times the skew-safe vs window
+    keep-first plans on a generated mega-key table (skew_* extras)."""
+    from pysemantic_spark.operators.skew import salted_group_count
+
+    ev = _read(spark, sf_dir, "events")
+    skewed = ev.withColumn(
+        "skew_key",
+        F.when(F.col("user_id") % 10 == 0, F.lit(0)).otherwise(F.col("user_id")),
+    )
+    return salted_group_count(
+        skewed, ["skew_key"], salt_factor=16, entropy_cols=("event_id",)
+    ).select(
+        F.col("skew_key").cast("long").alias("skew_key"),
+        F.col("cnt").cast("long").alias("cnt"),
+    )
+
+
 def q_streaming_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured-Streaming drift end-to-end: baseline sketch from the
     even-event_id half (batch), then the odd half replayed as a parquet
@@ -691,12 +720,15 @@ def q_ivf_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster structure, so single-probe recall is poor by nature — probing
     3 clusters scores ~0.38n candidates); measured recall@5 per query is
     ≥ 0.6 at sf0.01 and ≥ 0.4 at sf0.1; gate at 0.4. Deterministic in
-    both SET and ORDER: ``sample_fraction=1.0`` makes the training
-    sample a seeded Bernoulli pass (layout-independent set; an unordered
-    limit() prefix would depend on scan order once the corpus outgrows
-    the cap), the sample is canonically ordered driver-side (lexsort),
-    and all seeds are plan literals — so the centroids, and the gate,
-    are a pure function of the data."""
+    both SET and ORDER at any corpus size: ``sample_fraction=1.0`` makes
+    the capped training sample the 4×sample_size rows with the smallest
+    xxhash64(seed, vec) — a pure function of the vector values (round-5
+    ADVICE: the old Bernoulli sample() reseeded per partition and the
+    bare limit() cap took a scan-order prefix, so the set could change
+    under repartitioning once the corpus outgrew the cap) — the sample
+    is canonically ordered driver-side (lexsort), and all seeds are plan
+    literals, so the centroids, and the gate, are a pure function of the
+    data."""
     emb = _read(spark, sf_dir, "embeddings").withColumn(
         "embedding", F.col("embedding").cast("array<double>")
     )
@@ -823,6 +855,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "ngram_prefix_pairs_documents": q_ngram_prefix_pairs_documents,
         "simhash_wide_documents": q_simhash_wide_documents,
         "salted_user_counts_events": q_salted_user_counts_events,
+        "skewed_user_counts_events": q_skewed_user_counts_events,
         "dedup_clusters_documents": q_dedup_clusters_documents,
         "dedup_clusters_star_documents": q_dedup_clusters_star_documents,
         "corpus_clean_documents": q_corpus_clean_documents,
@@ -1463,6 +1496,14 @@ def oracle_sql() -> dict[str, str]:
         # two-stage salted agg must equal the plain GROUP BY for any salt
         "salted_user_counts_events": """
             SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id
+        """,
+        # pathological skew: one synthetic mega-key holds ~10% of rows;
+        # the salted plan must still equal the plain GROUP BY
+        "skewed_user_counts_events": """
+            SELECT (CASE WHEN user_id % 10 = 0 THEN 0 ELSE user_id END)::BIGINT
+                       AS skew_key,
+                   count(*) AS cnt
+            FROM events GROUP BY 1
         """,
         # prefix path is exact-recall with NO stop cap: brute-force
         # inverted-index jaccard at the selective threshold

@@ -154,6 +154,31 @@ def main() -> None:
         timings[name] = round(time.time() - t0, 3)
     release_intermediates()
 
+    # Skew stress extras (round-5 VERDICT item 6): a generated table where
+    # ONE key holds ~10% of rows (the north_rule's pathological
+    # conversation). Times the window keep-first plan — the mega-key's
+    # row_number sort lands in ONE task — against the skew-safe
+    # ``agg_min`` plan (min_by hash agg, full map-side combine), same
+    # result set (equivalence is oracle-tested in
+    # tests/test_round6_features.py; these are the measured numbers).
+    from pysemantic_spark.operators.dedup import exact_dedup_keep_first
+
+    n_skew = int(os.environ.get("BENCH_SKEW_ROWS", "4000000"))
+    skew_df = spark.range(n_skew).select(
+        F.when(F.col("id") % 10 == 0, F.lit(0))
+        .otherwise(F.pmod(F.xxhash64("id"), F.lit(200000)) + 1)
+        .alias("k"),
+        F.col("id").alias("ord"),
+        (F.col("id") * 17 % 97).alias("payload"),
+    )
+    extras: dict[str, float] = {}
+    for strat in ("window", "agg_min"):
+        plan = exact_dedup_keep_first(skew_df, ["k"], ["ord"], strategy=strat)
+        _noop(plan)  # warmup: codegen/JIT
+        t0 = time.time()
+        _noop(exact_dedup_keep_first(skew_df, ["k"], ["ord"], strategy=strat))
+        extras[f"skew_keepfirst_{strat}_sec"] = round(time.time() - t0, 3)
+
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     out = {
         "metric": "bench_total_sec",
@@ -163,6 +188,7 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "transcript_rows": n_turns,
         "validated_turns_per_sec": round(turns_per_sec),
+        **extras,
     }
     # standing north-star row: fold in the latest 60M-row scaling run's 4N
     # wall time (written by bench_scaling.py) so the workload the north

@@ -227,7 +227,10 @@ def main() -> None:
     # config design lets all of one config land on a slow stretch — seen as
     # local[2] "beating" local[8]. Interleaving makes both configs sample
     # the same environment; per-config medians then compare like with like.
-    n_pairs = int(os.environ.get("SCALING_RUNS", "3"))
+    # Round 6: 5 pairs (was 3 — with 3 runs spanning 2.1× the median and
+    # the min disagreed by 0.24 efficiency; the round-5 VERDICT's one red
+    # number), and the headline gates on min AND median (below).
+    n_pairs = int(os.environ.get("SCALING_RUNS", "5"))
     raw: dict[int, list[dict]] = {n_small: [], n_big: []}
     for i in range(n_pairs):
         for cores in (n_big, n_small):
@@ -245,24 +248,32 @@ def main() -> None:
         # each subprocess reports its timed runs only (warmups excluded)
         times = sorted(t for r in runs for t in r["runs_sec"])
         med = times[len(times) // 2]
+        mean = sum(times) / len(times)
         results[cores] = {
             "cores": cores,
             "rows": runs[0]["rows"],
             "runs_sec": [t for r in runs for t in r["runs_sec"]],
             "median_sec": round(med, 2),
             "min_sec": round(times[0], 2),
+            # dispersion (round-5 VERDICT: a headline from a noisy triple
+            # is evidence debt) — spread = max/min, stdev over the runs
+            "spread_max_over_min": round(times[-1] / times[0], 2),
+            "stdev_sec": round(
+                (sum((t - mean) ** 2 for t in times) / len(times)) ** 0.5, 2
+            ),
             "turns_per_sec": round(runs[0]["rows"] / med),
         }
 
     # Both estimators are computed and BOTH pass flags reported
-    # (round-2 ADVICE: report both). The headline `passed` gates on the
-    # per-config MINIMUM: the sandbox host throttles unpredictably
-    # (identical 8-core runs measured 27.9-99.9 s in one session; a
-    # 32-core run measured 8.7 s healthy and 255 s throttled), so medians
-    # across interleaved pairs measure the host's duty cycle, while the
-    # minimum estimates each config's unthrottled capability — the
-    # quantity the cluster criterion is about. The median-based figure and
-    # flag are always printed alongside; on quiet hardware the two agree.
+    # (round-2 ADVICE: report both), and — round 6 — the headline `passed`
+    # is banked only when min AND median clear the target (round-5
+    # VERDICT: with 3 runs/config and a 2.1× 4N spread, the min said 0.954
+    # PASS while the median said 0.718 FAIL; a pass resting on the single
+    # fastest run of a noisy triple is evidence debt, not a pass). The
+    # minimum still estimates each config's unthrottled capability on this
+    # throttling-prone host (identical 8-core runs measured 27.9-99.9 s in
+    # one session; a 32-core run measured 8.7 s healthy and 255 s
+    # throttled); the median guards against the minimum being the outlier.
     eff_min = results[n_small]["min_sec"] / (4 * results[n_big]["min_sec"])
     eff_med = results[n_small]["median_sec"] / (4 * results[n_big]["median_sec"])
     report = {
@@ -274,11 +285,11 @@ def main() -> None:
         "master_4n": _master_for(n_big),
         "local_n": results[n_small],
         "local_4n": results[n_big],
-        "scaling_efficiency": round(eff_min, 3),
+        "scaling_efficiency": round(min(eff_min, eff_med), 3),
         "scaling_efficiency_min": round(eff_min, 3),
         "scaling_efficiency_median": round(eff_med, 3),
         "target": 0.8,
-        "passed": eff_min >= 0.8,
+        "passed": eff_min >= 0.8 and eff_med >= 0.8,
         "passed_median": eff_med >= 0.8,
         "passed_min": eff_min >= 0.8,
     }
@@ -314,15 +325,19 @@ Protocol notes (round 2, both found by measurement):
    and inflated "efficiency" to a meaningless superlinear 1.87.
 2. **Configs are interleaved (4N, N, 4N, N, …), one fresh JVM per run,
    with cool-down gaps; both median- and minimum-based efficiency are
-   reported, the minimum gates the headline (see note)** — the
-   sandbox host throttles vCPUs unpredictably under sustained load (the
-   same 32-core run measured 8.6 s fresh and 216 s after ~20 min of
-   continuous benching; identical 8-core runs ranged 27.9–99.9 s in one
-   session). A phase-per-config schedule can land all of one config on a
-   slow stretch (observed: local[2] "beating" local[8]); interleaving makes
-   both configs sample the same environment, and the minimum across runs is
-   the best estimator of each config's unthrottled capability — the
-   quantity the cluster criterion is about. Median is reported alongside.
+   reported and — round 6 — the headline passes only when BOTH clear the
+   target** — the sandbox host throttles vCPUs unpredictably under
+   sustained load (the same 32-core run measured 8.6 s fresh and 216 s
+   after ~20 min of continuous benching; identical 8-core runs ranged
+   27.9–99.9 s in one session). A phase-per-config schedule can land all
+   of one config on a slow stretch (observed: local[2] "beating"
+   local[8]); interleaving makes both configs sample the same
+   environment. The minimum across runs estimates each config's
+   unthrottled capability — the quantity the cluster criterion is about —
+   while the median guards against the minimum being the outlier of a
+   noisy set (round-5: min said PASS off one fast run, median said FAIL;
+   round 6 runs 5 interleaved pairs and reports per-config dispersion so
+   the two estimators are judged against the spread they came from).
 3. **Input splits are data-sized** (`files.maxPartitionBytes=16m`, 2-4
    tasks/core at 4N) so the scan never has fewer tasks than cores —
    standard cluster practice; the 4N config is otherwise idle-tailed.
@@ -366,19 +381,20 @@ per-bucket pass/fail report, per-column stats via observe) over
 Zipf conversation sizes, one skewed conversation holding ~1% of rows),
 violations written to parquet.
 
-| config | median sec | min sec | runs (warmups excluded) | turns/sec (median) |
-|---|---|---|---|---|
-| {r['master_n']}  (N)  | {r['local_n']['median_sec']} | {r['local_n']['min_sec']} | {r['local_n']['runs_sec']} | {r['local_n']['turns_per_sec']:,} |
-| {r['master_4n']} (4N) | {r['local_4n']['median_sec']} | {r['local_4n']['min_sec']} | {r['local_4n']['runs_sec']} | {r['local_4n']['turns_per_sec']:,} |
+| config | median sec | min sec | stdev | max/min | runs (warmups excluded) | turns/sec (median) |
+|---|---|---|---|---|---|---|
+| {r['master_n']}  (N)  | {r['local_n']['median_sec']} | {r['local_n']['min_sec']} | {r['local_n'].get('stdev_sec')} | {r['local_n'].get('spread_max_over_min')} | {r['local_n']['runs_sec']} | {r['local_n']['turns_per_sec']:,} |
+| {r['master_4n']} (4N) | {r['local_4n']['median_sec']} | {r['local_4n']['min_sec']} | {r['local_4n'].get('stdev_sec')} | {r['local_4n'].get('spread_max_over_min')} | {r['local_4n']['runs_sec']} | {r['local_4n']['turns_per_sec']:,} |
 
 **Scaling efficiency (min) = T_N(min) / (4 × T_4N(min)) =
-{r['scaling_efficiency_min']}** (target ≥ {r['target']}:
-{"PASS" if r['passed_min'] else "FAIL"}) — the headline gate (protocol
-note 2: on this throttling-prone host the per-config minimum estimates
-unthrottled capability; medians measure the host's duty cycle).
-Median-based figure, always reported alongside:
+{r['scaling_efficiency_min']}
+({"PASS" if r['passed_min'] else "FAIL"}); (median) =
 {r['scaling_efficiency_median']}
-({"PASS" if r['passed_median'] else "FAIL"}).
+({"PASS" if r['passed_median'] else "FAIL"}); target ≥ {r['target']} on
+BOTH → headline {"PASS" if r['passed'] else "FAIL"}** (protocol note 2:
+the minimum estimates unthrottled capability on this throttling-prone
+host, the median guards against the minimum being a lone outlier; round
+6 banks the gate only when the two estimators agree).
 
 Host calibration at measurement time (ALU-bound multiprocess spin —
 delivered parallelism, see protocol note 4): {r['host_calibration']}

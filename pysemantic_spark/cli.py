@@ -119,10 +119,20 @@ def _requalify(args) -> int:
     io = ParquetManifestIO(args.table)
     try:
         requalified = requalify_buckets(io, args.bucket or None)
+        m = io.load_manifest()
     except ValueError as e:
         print(str(e), file=sys.stderr)
         return 1
-    m = io.load_manifest()
+    except OSError as e:
+        # wrong --table path / bucketize never ran: operator-facing verbs
+        # exit 1 with a message, never a raw traceback
+        print(
+            f"no checkpoint manifest at {io.manifest_path} ({e}) — run "
+            f"`pysemantic-spark bucketize --source … --table {args.table} "
+            f"--bucket-key …` first",
+            file=sys.stderr,
+        )
+        return 1
     print(json.dumps({
         "table": args.table,
         "requalified": requalified,

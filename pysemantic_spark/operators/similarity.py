@@ -390,16 +390,33 @@ def train_ivf_centroids(
 
     ONE scan, no count() pre-pass (round-2 finding: sizing the sample
     fraction from corpus.count() paid a full extra pass before training).
-    With ``sample_fraction`` set (from table metadata / a catalog row
-    count), the sample is a Bernoulli per-partition filter capped at
-    4×sample_size; without it, a plain limit() prefix is taken — limit
-    early-terminates the scan, and for k-means seeding a prefix is
-    adequate unless the table is pathologically ordered by the embedding
-    itself (pass sample_fraction in that case)."""
+    With ``sample_fraction`` set, the sample is fully LAYOUT-INDEPENDENT
+    (round-5 ADVICE closed round 6): membership is a hash shard on
+    ``xxhash64(seed, vec)`` (a pure function of the vector VALUES — a
+    seeded ``sample()`` reseeds per partition, so its set changes under
+    repartitioning) and the 4×sample_size cap keeps the rows with the
+    SMALLEST hash via TakeOrderedAndProject (per-partition top-N + driver
+    merge, no full sort shuffle — a bare ``limit()`` takes a scan-order
+    prefix once the corpus outgrows the cap). Ties between DISTINCT
+    vectors need a 64-bit hash collision (~2⁻⁶⁴); identical vectors tie
+    but contribute the same point either way. Without ``sample_fraction``
+    a plain limit() prefix is taken — limit early-terminates the scan,
+    adequate for k-means seeding unless the table is pathologically
+    ordered by the embedding itself or determinism across layouts matters
+    (pass sample_fraction in those cases)."""
     sel = corpus.select(vec_col)
     if sample_fraction is not None:
-        sel = sel.sample(fraction=float(sample_fraction), seed=seed)
-    sample = sel.limit(sample_size * 4).toPandas()[vec_col]
+        h = F.xxhash64(F.lit(int(seed)), F.col(vec_col))
+        sel = sel.withColumn("_h", h)
+        f = float(sample_fraction)
+        if f < 1.0:
+            m = 1 << 30
+            sel = sel.filter(F.pmod(F.col("_h"), F.lit(m)) < int(f * m))
+        sample = (
+            sel.orderBy("_h").limit(sample_size * 4).drop("_h").toPandas()[vec_col]
+        )
+    else:
+        sample = sel.limit(sample_size * 4).toPandas()[vec_col]
     x = np.array([np.asarray(v, dtype=np.float64) for v in sample])
     # canonicalize the sample ORDER driver-side (lexicographic on vector
     # values): limit()/toPandas() row order follows partition layout and
@@ -494,10 +511,12 @@ def ivf_topk(
     matches at most once — no candidate dedup needed.
 
     ``sample_fraction`` flows to :func:`train_ivf_centroids`: set it when
-    the training sample SET must be partition-layout-independent (an
-    unordered limit() prefix depends on scan order; a seeded Bernoulli
-    sample does not) — e.g. any oracle-gated or reproducibility-sensitive
-    run."""
+    the training sample SET must be partition-layout-independent at ANY
+    corpus size — membership and the cap are then both pure functions of
+    the vector values (hash shard + smallest-hash top-N; see
+    train_ivf_centroids), so the centroids, and any recall gate built on
+    them, cannot flap on a repartition. Use it for every oracle-gated or
+    reproducibility-sensitive run."""
     cents = train_ivf_centroids(
         corpus,
         dim,
