@@ -603,6 +603,101 @@ def q_streaming_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_drift_append_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPEND-mode twin of `streaming_drift_events` (round-5 VERDICT item
+    8): the complete-mode memory sink re-emits every window each batch —
+    fine for an oracle, unbounded at production window counts — while this
+    query emits each window ONCE, when the watermark closes it, so sink
+    volume and store state are bounded by the watermark, not the input
+    rate.
+
+    Determinism: the staged source is TWO chronologically-mtime'd files
+    read one-per-micro-batch (``maxFilesPerTrigger=1``): the real events,
+    then a single far-future SENTINEL row (odd event_id so it passes the
+    stream filter; its own window never closes, so it contributes no
+    output). Append mode emits a window only in a batch AFTER the
+    watermark passes its end; the sentinel batch advances the watermark
+    past every real window, so the emitted set is exactly the full
+    per-window sketch over the odd half — the SAME value oracle as the
+    complete-mode twin, now reached through watermark eviction instead of
+    a full-state re-emit (verified empirically at sf0.001 and sf0.01:
+    emitted set == complete set, sentinel absent)."""
+    import datetime
+    import shutil
+    import tempfile
+    import uuid
+
+    from pysemantic_spark.operators.drift import (
+        load_drift_baseline,
+        save_drift_baseline,
+    )
+    from pysemantic_spark.streaming import validate_stream as vs
+
+    ev_path = f"{sf_dir}/events.parquet"
+    ev = spark.read.parquet(ev_path)
+    base = ev.filter(F.col("event_id") % 2 == 0).select("value", "event_type")
+    bl_path = os.path.join(
+        tempfile.gettempdir(), f"append_drift_bl_{uuid.uuid4().hex}.json"
+    )
+    save_drift_baseline(base, ["value", "event_type"], bl_path, n_bins=20)
+    baseline = load_drift_baseline(bl_path)
+
+    max_ts = ev.filter(F.col("event_id") % 2 == 1).agg(F.max("ts")).first()[0]
+    stage_dir = os.path.join(
+        tempfile.gettempdir(), f"append_drift_src_{uuid.uuid4().hex[:12]}"
+    )
+    os.makedirs(stage_dir)
+    fa = os.path.join(stage_dir, "a_events.parquet")
+    shutil.copy(ev_path, fa)
+    sentinel = spark.createDataFrame(
+        [(999999999, max_ts + datetime.timedelta(hours=10), 1, "click", 5.0, "{}")],
+        ev.schema,
+    )
+    sent_out = stage_dir + "_sent"
+    sentinel.coalesce(1).write.parquet(sent_out)
+    part = next(f for f in os.listdir(sent_out) if f.endswith(".parquet"))
+    fb = os.path.join(stage_dir, "b_sentinel.parquet")
+    shutil.copy(os.path.join(sent_out, part), fb)
+    import time as _time
+
+    now = _time.time()  # file order = micro-batch order: events, sentinel
+    os.utime(fa, (now - 7200, now - 7200))
+    os.utime(fb, (now, now))
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage_dir)
+        .filter(F.col("event_id") % 2 == 1)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    sk = vs.windowed_drift_sketch(
+        stream, baseline, ["value", "event_type"],
+        ts_col="ts", window="1 hour", watermark="1 second",
+    )
+    qname = f"driftap_{uuid.uuid4().hex[:12]}"
+    q = (
+        sk.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.table(qname)
+    os.unlink(bl_path)
+    shutil.rmtree(stage_dir, ignore_errors=True)
+    shutil.rmtree(sent_out, ignore_errors=True)
+    return rows.select(
+        "window_start",
+        "window_end",
+        F.col("column").alias("drift_col"),
+        "bin",
+        "cnt",
+    )
+
+
 def _topk_recall_gate(
     exact: DataFrame, approx: DataFrame, k: int, bound: float
 ) -> DataFrame:
@@ -852,6 +947,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "lsh_topk_embeddings": q_lsh_topk_embeddings,
         "ivf_topk_embeddings": q_ivf_topk_embeddings,
         "streaming_drift_events": q_streaming_drift_events,
+        "streaming_drift_append_events": q_streaming_drift_append_events,
         "ngram_prefix_pairs_documents": q_ngram_prefix_pairs_documents,
         "simhash_wide_documents": q_simhash_wide_documents,
         "salted_user_counts_events": q_salted_user_counts_events,
@@ -1538,4 +1634,8 @@ def oracle_sql() -> dict[str, str]:
     # label propagation and star contraction must reach the SAME fixpoint,
     # so the star query shares the transitive-closure oracle verbatim
     d["dedup_clusters_star_documents"] = d["dedup_clusters_documents"]
+    # the append-mode twin must emit EXACTLY the complete-mode window set
+    # (the sentinel closes every real window; its own never closes), so it
+    # shares the per-window sketch oracle verbatim
+    d["streaming_drift_append_events"] = d["streaming_drift_events"]
     return d

@@ -292,7 +292,7 @@ def ngram_jaccard_pairs(
 
     No crossJoin in either plan."""
     if collapse_identical:
-        rep_df, members_multi = _collapse_for_mining(df, id_col, text_col)
+        rep_df, members_multi, small = _collapse_for_mining(df, id_col, text_col)
         rep_pairs = ngram_jaccard_pairs(
             rep_df,
             id_col,
@@ -306,9 +306,12 @@ def ngram_jaccard_pairs(
         if members_multi is None:  # no clones anywhere: nothing to expand
             return rep_pairs
         mined = _mined_multi_reps(
-            rep_df, id_col, members_multi, F.size(_shingles(text_col, n)) > 0
+            rep_df, id_col, members_multi,
+            F.size(_shingles(text_col, n)) > 0, small,
         )
-        return _expand_pairs_multi(rep_pairs, members_multi, mined, "jaccard", 1.0)
+        return _expand_pairs_multi(
+            rep_pairs, members_multi, mined, "jaccard", 1.0, small
+        )
     if prefix_filter is None:
         prefix_filter = threshold >= 0.35
     sh = _materialize(
@@ -515,7 +518,15 @@ def _collapse_for_mining(
     a 10⁸-member clone group would buffer its whole partition in one
     window task; partial min/count aggregation reduces it per map task).
     Text never enters the stats shuffle — only (id, 32-byte fingerprint)
-    rows move; the representative rows join text back by id once."""
+    rows move; the representative rows join text back by id once.
+
+    The same single sizing action also MEASURES the clone-member count;
+    when it fits comfortably in a broadcast (≤ ``_BROADCAST_MEMBERS``
+    rows of two longs) the third return value says so and the expansion
+    joins broadcast their clone-map side — the rep-pair/label stream then
+    flows through the expansion with NO exchange at all. Clone-bomb
+    corpora (a 10⁷-member boilerplate group) exceed the cap and fall back
+    to shuffle joins; the decision is measured, never guessed."""
     keyed = _materialize(
         df.select(F.col(id_col), F.col(text_col)).withColumn(
             "_tfp", token_stream_key(text_col)
@@ -526,8 +537,16 @@ def _collapse_for_mining(
             F.min(id_col).alias("_rep"), F.count(F.lit(1)).alias("_gs")
         )
     )
-    if groups.filter(F.col("_gs") > 1).limit(1).count() == 0:
-        return keyed.drop("_tfp"), None
+    row = (
+        groups.filter(F.col("_gs") > 1)
+        .agg(
+            F.count(F.lit(1)).alias("g"),
+            F.coalesce(F.sum("_gs"), F.lit(0)).alias("m"),
+        )
+        .first()
+    )
+    if row["g"] == 0:
+        return keyed.drop("_tfp"), None, False
     rep_df = keyed.drop("_tfp").join(
         groups.select(F.col("_rep").alias(id_col)), id_col, "left_semi"
     )
@@ -536,11 +555,25 @@ def _collapse_for_mining(
         .join(groups.filter(F.col("_gs") > 1).select("_tfp", "_rep"), "_tfp")
         .select("_id", "_rep")
     )
-    return rep_df, members_multi
+    return rep_df, members_multi, row["m"] <= _BROADCAST_MEMBERS
+
+
+# clone-map rows (two longs each) below this measured size broadcast in the
+# expansion joins: ~16 MB serialized at the cap, far under executor memory,
+# and the alternative is 4-6 tiny-but-scheduled shuffle stages per miner call
+_BROADCAST_MEMBERS = 1_000_000
+
+
+def _maybe_broadcast(df: DataFrame, small: bool) -> DataFrame:
+    return F.broadcast(df) if small else df
 
 
 def _mined_multi_reps(
-    rep_df: DataFrame, id_col: str, members_multi: DataFrame, mined_pred
+    rep_df: DataFrame,
+    id_col: str,
+    members_multi: DataFrame,
+    mined_pred,
+    small: bool = False,
 ) -> DataFrame:
     """Representatives of MULTI-member groups that actually mine (produce
     ≥1 shingle/token per ``mined_pred``) — the intra-pair eligibility set.
@@ -548,7 +581,7 @@ def _mined_multi_reps(
     every representative (round-5 did the latter)."""
     multi = members_multi.select(F.col("_rep").alias(id_col)).distinct()
     return (
-        rep_df.join(multi, id_col, "left_semi")
+        rep_df.join(_maybe_broadcast(multi, small), id_col, "left_semi")
         .filter(mined_pred)
         .select(F.col(id_col))
     )
@@ -560,20 +593,24 @@ def _expand_pairs_multi(
     mined_multi: DataFrame,
     score_col: str | None,
     identical_score,
+    small: bool = False,
 ) -> DataFrame:
     """Expand representative pairs using the multi-member groups only —
     row-identical to :func:`expand_collapsed_pairs` (property of the left
     joins: a singleton rep has no ``members_multi`` row, so coalesce keeps
     the rep id — exactly the identity row the full membership map carried).
-    Join traffic is O(pairs + clone members) instead of O(pairs × n)."""
+    Join traffic is O(pairs + clone members) instead of O(pairs × n);
+    with ``small`` (clone-member count measured under the broadcast cap by
+    :func:`_collapse_for_mining`) the clone-map sides broadcast and the
+    pair stream never exchanges."""
     score = [F.col(score_col)] if score_col else []
     ma = members_multi.select(F.col("_rep").alias("id_a"), F.col("_id").alias("_a"))
     mb = members_multi.select(F.col("_rep").alias("id_b"), F.col("_id").alias("_b"))
     ca = F.coalesce(F.col("_a"), F.col("id_a"))
     cb = F.coalesce(F.col("_b"), F.col("id_b"))
     cross = (
-        rep_pairs.join(ma, "id_a", "left")
-        .join(mb, "id_b", "left")
+        rep_pairs.join(_maybe_broadcast(ma, small), "id_a", "left")
+        .join(_maybe_broadcast(mb, small), "id_b", "left")
         .select(
             F.least(ca, cb).alias("id_a"),
             F.greatest(ca, cb).alias("id_b"),
@@ -581,14 +618,16 @@ def _expand_pairs_multi(
         )
     )
     mm = members_multi.join(
-        mined_multi.select(F.col(mined_multi.columns[0]).alias("_rep")),
+        _maybe_broadcast(
+            mined_multi.select(F.col(mined_multi.columns[0]).alias("_rep")), small
+        ),
         "_rep",
         "left_semi",
     )
     iscore = [F.lit(identical_score).alias(score_col)] if score_col else []
     intra = (
         mm.select("_rep", F.col("_id").alias("_a"))
-        .join(mm.select("_rep", F.col("_id").alias("_b")), "_rep")
+        .join(_maybe_broadcast(mm.select("_rep", F.col("_id").alias("_b")), small), "_rep")
         .filter(F.col("_a") < F.col("_b"))
         .select(F.col("_a").alias("id_a"), F.col("_b").alias("id_b"), *iscore)
     )
@@ -641,7 +680,7 @@ def minhash_lsh_pairs(
     (:func:`collapse_identical_docs`): m byte-identical docs cost O(m)
     candidate rows instead of O(m²)-per-band."""
     if collapse_identical:
-        rep_df, members_multi = _collapse_for_mining(df, id_col, text_col)
+        rep_df, members_multi, small = _collapse_for_mining(df, id_col, text_col)
         rep_pairs = minhash_lsh_pairs(
             rep_df,
             id_col,
@@ -659,10 +698,12 @@ def minhash_lsh_pairs(
         # shorter than the shingle length never enter the index and must
         # not pair)
         mined = _mined_multi_reps(
-            rep_df, id_col, members_multi, F.size(_shingles(text_col, n)) > 0
+            rep_df, id_col, members_multi,
+            F.size(_shingles(text_col, n)) > 0, small,
         )
         return _expand_pairs_multi(
-            rep_pairs, members_multi, mined, "jaccard" if verify else None, 1.0
+            rep_pairs, members_multi, mined,
+            "jaccard" if verify else None, 1.0, small,
         )
     rows_per_band = num_hashes // bands
     sig = _materialize(minhash_signatures(df, id_col, text_col, n, num_hashes))
@@ -867,7 +908,7 @@ def simhash_near_dup_pairs(
     else) — see :func:`collapse_identical_docs` for the band-bucket skew
     rationale."""
     if collapse_identical:
-        rep_df, members_multi = _collapse_for_mining(df, id_col, text_col)
+        rep_df, members_multi, small = _collapse_for_mining(df, id_col, text_col)
         rep_pairs = simhash_near_dup_pairs(
             rep_df,
             id_col,
@@ -883,9 +924,11 @@ def simhash_near_dup_pairs(
         # clone-group reps that produce a fingerprint: ≥1 token (empty
         # docs never enter the bit-vote agg and must not pair)
         mined = _mined_multi_reps(
-            rep_df, id_col, members_multi, F.size(tokens(text_col)) > 0
+            rep_df, id_col, members_multi, F.size(tokens(text_col)) > 0, small
         )
-        return _expand_pairs_multi(rep_pairs, members_multi, mined, "hamming", 0)
+        return _expand_pairs_multi(
+            rep_pairs, members_multi, mined, "hamming", 0, small
+        )
     if n_bands is None:
         n_bands = max_hamming + 1
     fps = _materialize(
@@ -957,7 +1000,7 @@ def duplicate_clusters(
 
     Returns (node, cluster_rep). Property-tested equal to the pair-list
     path on mixed clone/near-dup corpora."""
-    rep_df, members_multi = _collapse_for_mining(df, id_col, text_col)
+    rep_df, members_multi, small = _collapse_for_mining(df, id_col, text_col)
     rep_pairs = ngram_jaccard_pairs(
         rep_df,
         id_col,
@@ -976,11 +1019,15 @@ def duplicate_clusters(
     # if the group produces shingles (sub-shingle-length docs never pair);
     # the predicate runs over the clone groups only (round 6)
     mined = _mined_multi_reps(
-        rep_df, id_col, members_multi, F.size(_shingles(text_col, n)) > 0
+        rep_df, id_col, members_multi, F.size(_shingles(text_col, n)) > 0, small
     )
     labels_rep = rep_labels.select(F.col("node").alias("_rep"), "cluster_rep")
     mm = members_multi.join(
-        mined.select(F.col(mined.columns[0]).alias("_rep")), "_rep", "left_semi"
+        _maybe_broadcast(
+            mined.select(F.col(mined.columns[0]).alias("_rep")), small
+        ),
+        "_rep",
+        "left_semi",
     )
     multi_out = mm.join(labels_rep, "_rep", "left").select(
         F.col("_id").alias("node"),
@@ -990,7 +1037,9 @@ def duplicate_clusters(
     # replaced by the expansion above (which includes the rep itself,
     # since members_multi carries the (_id=rep, _rep=rep) row)
     single_out = rep_labels.join(
-        members_multi.select(F.col("_rep").alias("node")).distinct(),
+        _maybe_broadcast(
+            members_multi.select(F.col("_rep").alias("node")).distinct(), small
+        ),
         "node",
         "left_anti",
     )
@@ -1035,33 +1084,31 @@ def _small_star(edges: DataFrame) -> DataFrame:
     return nbr.unionByName(own).distinct()
 
 
-def _assert_star(edges: DataFrame) -> None:
-    """Hardening against a 2⁻⁶⁴ signature collision in the fixpoint test
-    (round-5 ADVICE): a colliding non-star edge set would silently emit
-    wrong cluster reps, so the star invariant is asserted once, at
-    termination only. Stars centered at component minima satisfy exactly:
-    every u appears in ONE row, and no center v ever appears as a u. Two
-    tiny aggs over the final (checkpointed) edge set."""
-    r = edges.agg(
-        F.count(F.lit(1)).alias("n"), F.count_distinct("u").alias("d")
-    ).first()
-    if r["n"] != r["d"]:
-        raise RuntimeError(
-            "star contraction fixpoint is not a star (duplicate source "
-            "nodes) — 64-bit signature collision; rerun with more rounds"
-        )
-    overlap = (
-        edges.join(
-            edges.select(F.col("u").alias("v")).distinct(), "v", "left_semi"
-        )
-        .limit(1)
-        .count()
+def _is_star_forest(edges: DataFrame) -> bool:
+    """EXACT star-forest test in ONE aggregation job, no joins: a
+    canonical (u > v) edge set is a star forest ⟺ every u appears in
+    exactly one row AND no v ever appears as a u (count(edges) ==
+    countDistinct(u) and the u-set and v-set are disjoint, i.e.
+    countDistinct(u ∪ v) == countDistinct(u) + countDistinct(v)). Both
+    conditions come from one agg over the stacked (node, side) frame.
+    This is the fixpoint test AND the invariant: a star forest is
+    provably a fixpoint of the large∘small round, each star's center is
+    its component minimum by canonicality (all edges point at the
+    smaller endpoint), and the rounds preserve connectivity — so
+    stopping at the FIRST star-forest state is exact, needs no extra
+    confirmation round, and cannot be spoofed by a hash collision (the
+    round-5 signature-equality test could, with probability 2⁻⁶⁴ —
+    round-5 ADVICE)."""
+    stacked = edges.select(F.col("u").alias("n"), F.lit(1).alias("s")).unionAll(
+        edges.select(F.col("v").alias("n"), F.lit(0).alias("s"))
     )
-    if overlap:
-        raise RuntimeError(
-            "star contraction fixpoint is not a star (a center also "
-            "appears as a leaf) — 64-bit signature collision; rerun"
-        )
+    r = stacked.agg(
+        F.count(F.when(F.col("s") == 1, 1)).alias("ne"),
+        F.count_distinct(F.when(F.col("s") == 1, F.col("n"))).alias("du"),
+        F.count_distinct(F.when(F.col("s") == 0, F.col("n"))).alias("dv"),
+        F.count_distinct("n").alias("dall"),
+    ).first()
+    return r["ne"] == r["du"] and r["dall"] == r["du"] + r["dv"]
 
 
 def _star_contraction(edges0: DataFrame, max_iters: int) -> DataFrame:
@@ -1069,43 +1116,31 @@ def _star_contraction(edges0: DataFrame, max_iters: int) -> DataFrame:
     component stars centered on the component minimum in O(log n) rounds
     REGARDLESS of graph diameter (the provable fix for chain-shaped dup
     graphs, where min-label propagation needs O(diameter) rounds).
-    Fixpoint detection: the canonical edge set stops changing (count +
-    order-insensitive XOR-of-hashes signature — one tiny agg per round;
-    XOR, not sum, because ANSI mode makes a long sum overflow-raising
-    and the edge rows are distinct so cancellation can't collide); the
-    claimed fixpoint is then VERIFIED star-shaped (:func:`_assert_star`),
-    closing the 2⁻⁶⁴ silent-collision hole. Rounds are lineage-TRUNCATED,
-    not merely persisted: persist leaves the compounding plan for
-    Catalyst to re-analyze every round, which grows driver compile time
-    superlinearly with round count. The checkpoint is LAZY and the
-    signature agg is the materializing action, so each round runs ONE
-    Spark job, not two (round-5 VERDICT: per-round fixed job latency
-    dominated the sf0.1 wall time — eager localCheckpoint + a separate
-    agg paid the scheduler floor twice per round)."""
 
-    def ckpt_sig(e: DataFrame) -> tuple[DataFrame, tuple]:
-        # localCheckpoint(eager=False) truncates the plan to a LogicalRDD
-        # immediately; the agg below is the first action over it, so one
-        # job both materializes the checkpoint and computes the signature
-        e2 = e.localCheckpoint(eager=False)
-        r = e2.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.bit_xor(F.xxhash64("u", "v")).alias("h"),
-        ).first()
-        return e2, (r["n"], r["h"])
-
-    edges, prev_sig = ckpt_sig(edges0)
-    for _ in range(max_iters):
-        new_edges, new_sig = ckpt_sig(_small_star(_large_star(edges)))
-        edges = new_edges
-        if new_sig == prev_sig:
-            # star fixpoint: every row is (node, component_min)
-            _assert_star(edges)
+    Termination: the EXACT star-forest shape test (:func:`_is_star_forest`)
+    runs once per round — it fires on the first star-forest state, one
+    full round EARLIER than the round-5 signature-equality test (which
+    needed an identity round to observe "nothing changed"), and it IS the
+    correctness invariant, so the 2⁻⁶⁴ signature-collision hole is closed
+    structurally rather than asserted after the fact. Rounds are
+    lineage-TRUNCATED, not merely persisted: persist leaves the
+    compounding plan for Catalyst to re-analyze every round, which grows
+    driver compile time superlinearly with round count. The checkpoint is
+    LAZY and the shape-test agg is the materializing action, so each
+    round runs ONE Spark job, not two (round-5 VERDICT: per-round fixed
+    job latency dominated the sf0.1 wall time — eager localCheckpoint +
+    a separate agg paid the scheduler floor twice per round)."""
+    edges = edges0.localCheckpoint(eager=False)
+    for _ in range(max_iters + 1):
+        # the shape test is the first action over the lazy checkpoint: one
+        # job materializes the round AND decides termination
+        if _is_star_forest(edges):
+            # star forest: every row is (node, its component's minimum)
             return edges
-        prev_sig = new_sig
+        edges = _small_star(_large_star(edges)).localCheckpoint(eager=False)
     raise RuntimeError(
-        f"star contraction did not reach a fixpoint in {max_iters} rounds "
-        f"— this should not happen (O(log n) bound); raise max_iters"
+        f"star contraction did not reach a star forest in {max_iters} "
+        f"rounds — this should not happen (O(log n) bound); raise max_iters"
     )
 
 

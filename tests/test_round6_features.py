@@ -107,7 +107,7 @@ def test_collapse_fast_path_no_clones(spark):
     docs = [(i, f"unique document number {i} about topic {i % 7} words "
                 f"padding alpha beta gamma {i}") for i in range(40)]
     df = spark.createDataFrame(docs, "doc_id long, text string")
-    rep_df, members_multi = dedup._collapse_for_mining(df, "doc_id", "text")
+    rep_df, members_multi, _small = dedup._collapse_for_mining(df, "doc_id", "text")
     assert members_multi is None
     assert rep_df.count() == 40
     on = sorted(
@@ -185,15 +185,25 @@ def test_duplicate_clusters_sub_shingle_clones_never_cluster(spark):
 # star fixpoint hardening
 # ---------------------------------------------------------------------------
 
-def test_assert_star_accepts_stars_rejects_chains(spark):
+def test_is_star_forest_exact_shape_test(spark):
     stars = spark.createDataFrame([(3, 1), (2, 1), (9, 5)], "u long, v long")
-    dedup._assert_star(stars)  # no raise
+    assert dedup._is_star_forest(stars)
     chain = spark.createDataFrame([(3, 2), (2, 1)], "u long, v long")
-    with pytest.raises(RuntimeError, match="not a star"):
-        dedup._assert_star(chain)
+    assert not dedup._is_star_forest(chain)  # center 2 also a leaf
     dup_src = spark.createDataFrame([(3, 1), (3, 2)], "u long, v long")
-    with pytest.raises(RuntimeError, match="not a star"):
-        dedup._assert_star(dup_src)
+    assert not dedup._is_star_forest(dup_src)  # u appears twice
+    empty = spark.createDataFrame([], "u long, v long")
+    assert dedup._is_star_forest(empty)  # vacuous star forest
+
+
+def test_collapse_for_mining_reports_broadcastable_clone_map(spark):
+    docs = [(i, "same exact text body here repeated") for i in range(4)] + [
+        (10, "another unrelated document body entirely different")
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rep_df, mm, small = dedup._collapse_for_mining(df, "doc_id", "text")
+    assert small is True  # 4 clone members, far under the broadcast cap
+    assert mm.count() == 4
 
 
 # ---------------------------------------------------------------------------
