@@ -142,6 +142,7 @@ def measure(cores: int) -> dict:
     n_warm = int(os.environ.get("SCALING_WARMUPS", "2"))
     n_timed = int(os.environ.get("SCALING_RUNS", "3"))
     times = []
+    phase_timings: list[dict] = []
     n_rows = 0
     for i in range(n_warm + n_timed):
         t0 = time.time()
@@ -153,6 +154,12 @@ def measure(cores: int) -> dict:
         n_rows = out["n_rows"]
         if i >= n_warm:
             times.append(dt)
+            # driver-observed per-phase wall (compile_and_plan /
+            # pass1_violations_write / pass2_overlapped): attributes the
+            # serial floor — the part of the runtime 4× cores cannot
+            # divide — separately from the parallelizable passes, so an
+            # efficiency shortfall can be traced to the job or the host
+            phase_timings.append(out.get("timings", {}))
     times_sorted = sorted(times)
     med = times_sorted[len(times_sorted) // 2]
     return {
@@ -162,6 +169,7 @@ def measure(cores: int) -> dict:
         "median_sec": round(med, 2),
         "min_sec": round(times_sorted[0], 2),
         "turns_per_sec": round(n_rows / med),
+        "phase_timings": phase_timings,
     }
 
 
@@ -203,6 +211,35 @@ def main() -> None:
 
     ensure_data()
     results = {}
+    # Healthy-window gate (round 6): the efficiency ceiling is set by the
+    # parallelism the HOST delivers during the window — the round-6
+    # measurement-1 window delivered a 6.5×/8-process spin (0.81 ceiling)
+    # and the job measured 0.798, within 0.01 of the host's own limit,
+    # while round-5's healthy window (7.6×/8) measured 0.954. Measuring a
+    # ≥0.8 criterion inside a <0.81-capable window tests the sandbox's
+    # duty cycle, not the engine, so: calibrate BEFORE starting, and if
+    # the 8-process spin speedup is below SCALING_MIN_SPIN8 wait and
+    # re-calibrate (bounded attempts). Every attempt is recorded; if no
+    # healthy window arrives the protocol runs anyway and the report
+    # carries window_gate="degraded" so the figure is read against the
+    # ceiling it was measured under.
+    min_spin8 = float(os.environ.get("SCALING_MIN_SPIN8", "7.0"))
+    cal_tries = int(os.environ.get("SCALING_CAL_TRIES", "6"))
+    cal_wait = int(os.environ.get("SCALING_CAL_WAIT", "120"))
+    cal_attempts = []
+    for attempt in range(cal_tries):
+        cal = host_calibration()
+        cal_attempts.append(cal)
+        print(json.dumps({"calibration_attempt": attempt, **cal}),
+              file=sys.stderr)
+        if cal.get("spin_8p_speedup", 0.0) >= min_spin8:
+            break
+        if attempt < cal_tries - 1:
+            time.sleep(cal_wait)
+    window_gate = (
+        "healthy" if cal_attempts[-1].get("spin_8p_speedup", 0.0) >= min_spin8
+        else "degraded"
+    )
     # Short 4N phase FIRST, then a cool-down, then the long N phase: the
     # sandbox host throttles vCPUs after ~15 min of sustained full load
     # (measured: the same 32-core run went 8.6s → 216s when scheduled after
@@ -263,6 +300,17 @@ def main() -> None:
             ),
             "turns_per_sec": round(runs[0]["rows"] / med),
         }
+        # per-phase medians across the config's timed runs: how much of
+        # the wall is the driver-serial floor (compile + commit + tiny
+        # readbacks) vs the two parallelizable passes
+        phases: dict[str, list[float]] = {}
+        for r in runs:
+            for pt in r.get("phase_timings", []):
+                for k, v in pt.items():
+                    phases.setdefault(k, []).append(v)
+        results[cores]["phase_median_sec"] = {
+            k: round(sorted(v)[len(v) // 2], 2) for k, v in phases.items()
+        }
 
     # Both estimators are computed and BOTH pass flags reported
     # (round-2 ADVICE: report both), and — round 6 — the headline `passed`
@@ -276,10 +324,24 @@ def main() -> None:
     # throttled); the median guards against the minimum being the outlier.
     eff_min = results[n_small]["min_sec"] / (4 * results[n_big]["min_sec"])
     eff_med = results[n_small]["median_sec"] / (4 * results[n_big]["median_sec"])
+    # Supplementary MATCHED-PAIR estimator (reported, not gating): the i-th
+    # 4N and N runs are adjacent in time, so a throttled stretch hits both
+    # members of a pair — per-pair ratios cancel slow-window drift that the
+    # pooled min/median estimators smear across the whole session. Median
+    # of the per-pair efficiencies is the drift-robust center; its spread
+    # shows how much the host moved between pairs.
+    pair_effs = []
+    for rb, rs in zip(raw[n_big], raw[n_small]):
+        tb = sorted(rb["runs_sec"])[len(rb["runs_sec"]) // 2]
+        ts = sorted(rs["runs_sec"])[len(rs["runs_sec"]) // 2]
+        pair_effs.append(round(ts / (4 * tb), 3))
+    eff_pairwise = sorted(pair_effs)[len(pair_effs) // 2]
     report = {
         "n_cores": n_small,
         "big_cores": n_big,
         "host_calibration": host_calibration(),
+        "window_gate": window_gate,
+        "calibration_attempts": cal_attempts,
         "mode": os.environ.get("SCALING_MODE", "executors"),
         "master_n": _master_for(n_small),
         "master_4n": _master_for(n_big),
@@ -288,6 +350,10 @@ def main() -> None:
         "scaling_efficiency": round(min(eff_min, eff_med), 3),
         "scaling_efficiency_min": round(eff_min, 3),
         "scaling_efficiency_median": round(eff_med, 3),
+        "scaling_efficiency_pairwise": {
+            "per_pair": pair_effs,
+            "median": round(eff_pairwise, 3),
+        },
         "target": 0.8,
         "passed": eff_min >= 0.8 and eff_med >= 0.8,
         "passed_median": eff_med >= 0.8,
@@ -395,6 +461,18 @@ BOTH → headline {"PASS" if r['passed'] else "FAIL"}** (protocol note 2:
 the minimum estimates unthrottled capability on this throttling-prone
 host, the median guards against the minimum being a lone outlier; round
 6 banks the gate only when the two estimators agree).
+
+Supplementary matched-pair estimator (adjacent 4N/N runs, drift-robust,
+reported not gating): per-pair {r.get('scaling_efficiency_pairwise', {}).get('per_pair')},
+median {r.get('scaling_efficiency_pairwise', {}).get('median')}.
+Measurement window gate: **{r.get('window_gate', 'n/a')}** — the
+protocol calibrates the host BEFORE starting and waits (bounded) for a
+window whose 8-process spin speedup ≥ 7.0, because the job cannot scale
+better than the host delivers (the round-6 first measurement ran in a
+6.5×/8 window — a 0.81 ceiling — and measured 0.798, within 0.01 of
+that ceiling). Per-config driver-phase medians (serial-floor
+attribution): N {r['local_n'].get('phase_median_sec')}, 4N
+{r['local_4n'].get('phase_median_sec')}.
 
 Host calibration at measurement time (ALU-bound multiprocess spin —
 delivered parallelism, see protocol note 4): {r['host_calibration']}
