@@ -1084,7 +1084,7 @@ def _small_star(edges: DataFrame) -> DataFrame:
     return nbr.unionByName(own).distinct()
 
 
-def _is_star_forest(edges: DataFrame) -> bool:
+def _star_forest_probe(edges: DataFrame) -> tuple[bool, int]:
     """EXACT star-forest test in ONE aggregation job, no joins: a
     canonical (u > v) edge set is a star forest ⟺ every u appears in
     exactly one row AND no v ever appears as a u (count(edges) ==
@@ -1098,7 +1098,10 @@ def _is_star_forest(edges: DataFrame) -> bool:
     stopping at the FIRST star-forest state is exact, needs no extra
     confirmation round, and cannot be spoofed by a hash collision (the
     round-5 signature-equality test could, with probability 2⁻⁶⁴ —
-    round-5 ADVICE)."""
+    round-5 ADVICE).
+
+    Returns (is_star_forest, edge_count) — the edge count rides the same
+    agg for free and drives the local-finish decision."""
     stacked = edges.select(F.col("u").alias("n"), F.lit(1).alias("s")).unionAll(
         edges.select(F.col("v").alias("n"), F.lit(0).alias("s"))
     )
@@ -1108,7 +1111,55 @@ def _is_star_forest(edges: DataFrame) -> bool:
         F.count_distinct(F.when(F.col("s") == 0, F.col("n"))).alias("dv"),
         F.count_distinct("n").alias("dall"),
     ).first()
-    return r["ne"] == r["du"] and r["dall"] == r["du"] + r["dv"]
+    return (
+        r["ne"] == r["du"] and r["dall"] == r["du"] + r["dv"],
+        int(r["ne"]),
+    )
+
+
+def _is_star_forest(edges: DataFrame) -> bool:
+    return _star_forest_probe(edges)[0]
+
+
+# Edge count at or below which the contraction FINISHES LOCALLY (Kiveris
+# et al. 2014 §Optimizations: once the shrinking graph fits on one
+# machine, finish it there instead of paying log-n more distributed
+# rounds). 1M canonical (long, long) edges ≈ 16 MB — driver-trivial. The
+# decision is MEASURED: the per-round shape-test agg already counts the
+# edges, so the fallback costs nothing when it doesn't fire. Set to 0 to
+# force fully-distributed rounds (the property tests exercise both).
+_LOCAL_FINISH_EDGES = 1_000_000
+
+
+def _local_star_finish(edges: DataFrame) -> DataFrame:
+    """Finish the contraction on the driver: min-root union-find over a
+    measured-small edge list, emitting the same star forest the
+    distributed rounds converge to — (u, v=component minimum) for every
+    non-minimum node, exactly (root = min id because unions always attach
+    the larger root under the smaller one). Deterministic: output depends
+    only on the edge SET."""
+    spark = edges.sparkSession
+    pdf = edges.select("u", "v").toPandas()
+    us, vs = pdf["u"].tolist(), pdf["v"].tolist()  # native py objs
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for u, v in zip(us, vs):
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            hi, lo = (ru, rv) if rv < ru else (rv, ru)
+            parent[hi] = lo
+    rows = sorted(
+        (n, find(n)) for n in set(us).union(vs) if find(n) != n
+    )
+    return spark.createDataFrame(rows, schema=edges.select("u", "v").schema)
 
 
 def _star_contraction(edges0: DataFrame, max_iters: int) -> DataFrame:
@@ -1133,10 +1184,20 @@ def _star_contraction(edges0: DataFrame, max_iters: int) -> DataFrame:
     edges = edges0.localCheckpoint(eager=False)
     for _ in range(max_iters + 1):
         # the shape test is the first action over the lazy checkpoint: one
-        # job materializes the round AND decides termination
-        if _is_star_forest(edges):
+        # job materializes the round AND decides termination; its agg also
+        # measures the live edge count for the local-finish decision
+        star, ne = _star_forest_probe(edges)
+        if star:
             # star forest: every row is (node, its component's minimum)
             return edges
+        if ne <= _LOCAL_FINISH_EDGES:
+            # the graph (now) fits on one machine: finish there instead of
+            # paying the scheduler floor for O(log n) more tiny rounds
+            # (Kiveris et al. 2014's own local-finish optimization). At
+            # crawl scale the first rounds shrink the graph geometrically,
+            # so this absorbs the long tail of small rounds; at bench
+            # scale it fires immediately.
+            return _local_star_finish(edges)
         edges = _small_star(_large_star(edges)).localCheckpoint(eager=False)
     raise RuntimeError(
         f"star contraction did not reach a star forest in {max_iters} "
@@ -1178,18 +1239,26 @@ def connected_components(
     if algorithm not in ("label", "star"):
         raise ValueError(f"unknown connected-components algorithm {algorithm!r}")
     if algorithm == "star":
+        # persist the two-column pair projection ONCE (symmetric with the
+        # label path's edge materialization below): edges0, the node set,
+        # and every caller-side branch over the result would otherwise
+        # each re-run the full upstream mining DAG — measured 3× mining
+        # evaluations per duplicate_clusters call at sf0.1
+        pairs_uv = _materialize(
+            pairs.select(F.col(id_a).alias("_pa"), F.col(id_b).alias("_pb"))
+        )
         edges0 = (
-            pairs.select(
-                F.greatest(F.col(id_a), F.col(id_b)).alias("u"),
-                F.least(F.col(id_a), F.col(id_b)).alias("v"),
+            pairs_uv.select(
+                F.greatest(F.col("_pa"), F.col("_pb")).alias("u"),
+                F.least(F.col("_pa"), F.col("_pb")).alias("v"),
             )
             .filter(F.col("u") != F.col("v"))
             .distinct()
         )
         stars = _star_contraction(edges0, max_iters)
         nodes = (
-            pairs.select(F.col(id_a).alias("node"))
-            .unionByName(pairs.select(F.col(id_b).alias("node")))
+            pairs_uv.select(F.col("_pa").alias("node"))
+            .unionByName(pairs_uv.select(F.col("_pb").alias("node")))
             .distinct()
         )
         return nodes.join(

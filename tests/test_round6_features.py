@@ -439,3 +439,68 @@ def test_exact_topk_memo_evicts_stale_fingerprints(spark):
     assert len(keys) == 1
     assert keys[0][1] != ("stale0", 0, 0)
     entrymod._EXACT_TOPK_MEMO.clear()
+
+
+# ---------------------------------------------------------------------------
+# star contraction: measured local finish (Kiveris local-finish optimization)
+# ---------------------------------------------------------------------------
+
+def _uv_pairs(spark, edges):
+    return spark.createDataFrame(
+        [(a, b) for a, b in edges], "id_a long, id_b long"
+    )
+
+
+def test_star_local_finish_equals_distributed(spark, monkeypatch):
+    """The min-root union-find local finish must produce the SAME
+    (node, cluster_rep) map as fully-distributed contraction rounds, on
+    graphs mixing chains, cliques, and singetons-with-one-edge."""
+    import random
+
+    rng = random.Random(23)
+    for trial in range(3):
+        edges = {tuple(sorted(rng.sample(range(80), 2))) for _ in range(90)}
+        edges |= {(i, i + 1) for i in range(60, 75)}  # chain tail
+        p = _uv_pairs(spark, sorted(edges))
+        monkeypatch.setattr(dedup, "_LOCAL_FINISH_EDGES", 0)  # force rounds
+        dist = {
+            r["node"]: r["cluster_rep"]
+            for r in dedup.connected_components(
+                p, max_iters=25, algorithm="star"
+            ).collect()
+        }
+        monkeypatch.setattr(dedup, "_LOCAL_FINISH_EDGES", 10**9)  # force local
+        loc = {
+            r["node"]: r["cluster_rep"]
+            for r in dedup.connected_components(
+                p, max_iters=25, algorithm="star"
+            ).collect()
+        }
+        assert dist == loc
+
+
+def test_star_distributed_rounds_still_converge_on_chain(spark, monkeypatch):
+    """With the local finish disabled the distributed large/small-star
+    rounds must still reach the star forest on a diameter-40 chain —
+    the cap is an optimization, not a correctness crutch."""
+    monkeypatch.setattr(dedup, "_LOCAL_FINISH_EDGES", 0)
+    chain = [(i, i + 1) for i in range(40)]
+    got = dedup.connected_components(
+        _uv_pairs(spark, chain), max_iters=12, algorithm="star"
+    ).collect()
+    assert len(got) == 41
+    assert all(r["cluster_rep"] == 0 for r in got)
+
+
+def test_star_local_finish_fires_under_default_cap(spark):
+    """At test scale the measured edge count is far under the 1M cap, so
+    the local path must fire (and be exact) without any patching."""
+    edges = [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)]
+    got = {
+        r["node"]: r["cluster_rep"]
+        for r in dedup.connected_components(
+            _uv_pairs(spark, edges), algorithm="star"
+        ).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10,
+                   20: 20, 21: 20, 22: 20, 23: 20}
