@@ -292,32 +292,42 @@ def ngram_jaccard_pairs(
 
     No crossJoin in either plan."""
     if collapse_identical:
-        rep_df, members_multi, small = _collapse_for_mining(df, id_col, text_col)
-        rep_pairs = ngram_jaccard_pairs(
-            rep_df,
-            id_col,
-            text_col,
-            n=n,
-            threshold=threshold,
-            max_shingle_freq=max_shingle_freq,
-            prefix_filter=prefix_filter,
-            collapse_identical=False,
+        sh_full, groups, clones, small = _fused_shingle_collapse(
+            df, id_col, text_col, n
         )
-        if members_multi is None:  # no clones anywhere: nothing to expand
-            return rep_pairs
-        mined = _mined_multi_reps(
-            rep_df, id_col, members_multi,
-            F.size(_shingles(text_col, n)) > 0, small,
+        if not clones:  # no clones anywhere: mine everything, no expansion
+            return _ngram_pairs_on_shingles(
+                sh_full.drop("_tfp"), threshold, max_shingle_freq, prefix_filter
+            )
+        rep_pairs = _ngram_pairs_on_shingles(
+            _rep_rows(sh_full, groups),
+            threshold,
+            max_shingle_freq,
+            prefix_filter,
         )
+        members_multi, mined = _multi_members_and_mined(sh_full, groups)
         return _expand_pairs_multi(
             rep_pairs, members_multi, mined, "jaccard", 1.0, small
         )
-    if prefix_filter is None:
-        prefix_filter = threshold >= 0.35
     sh = _materialize(
         df.select(F.col(id_col).alias("_id"), _shingles(text_col, n).alias("_sh"))
         .withColumn("_size", F.size("_sh"))
     )
+    return _ngram_pairs_on_shingles(sh, threshold, max_shingle_freq, prefix_filter)
+
+
+def _ngram_pairs_on_shingles(
+    sh: DataFrame,
+    threshold: float,
+    max_shingle_freq: int | None = None,
+    prefix_filter: bool | None = None,
+) -> DataFrame:
+    """The two exact mining plans of :func:`ngram_jaccard_pairs`, over a
+    prepared (materialized) ``(_id, _sh, _size)`` shingle frame — shared
+    by the collapse-on path (which feeds it the representative rows of
+    the fused shingle+fingerprint scan) and the collapse-off path."""
+    if prefix_filter is None:
+        prefix_filter = threshold >= 0.35
     sizes = sh.select("_id", "_size")
     inv = sh.select("_id", F.explode("_sh").alias("shingle"))
     if max_shingle_freq is not None:
@@ -491,50 +501,39 @@ def expand_collapsed_pairs(
     return cross.unionByName(intra)
 
 
-def _collapse_for_mining(
-    df: DataFrame, id_col: str, text_col: str
-) -> tuple[DataFrame, DataFrame | None]:
-    """Low-overhead collapse plan used by the miners (round 6; semantics
-    identical to :func:`collapse_identical_docs` + the old full expansion,
-    which remain as the reference implementation).
+# clone-map rows (two longs each) below this measured size broadcast in the
+# expansion joins: ~16 MB serialized at the cap, far under executor memory,
+# and the alternative is 4-6 tiny-but-scheduled shuffle stages per miner call
+_BROADCAST_MEMBERS = 1_000_000
 
-    The round-5 guard cost ~1.8× on clone-light corpora: it joined EVERY
-    mined pair through the full n-row membership map and recomputed the
-    shingle predicate over every representative just to gate intra-group
-    pairs. This plan:
 
-    - detects the no-clone case with ONE tiny action on the materialized
-      group stats and returns ``(df rows, None)`` — mine directly, no
-      expansion at all;
-    - otherwise returns ``members_multi`` = (_id, _rep) for MULTI-member
-      groups ONLY (the clones themselves — 0 rows on clone-free data,
-      O(#clones) otherwise), so expansion joins and the intra-pair
-      eligibility predicate touch clones, not the whole corpus
-      (:func:`_expand_pairs_multi`). The inner join building it has the
-      filtered multi-group frame on one side, which AQE broadcast-plans
-      when clones are rare.
+def _fused_shingle_collapse(
+    df: DataFrame, id_col: str, text_col: str, n: int
+) -> tuple[DataFrame, DataFrame, bool, bool]:
+    """Collapse-guard bookkeeping FUSED into the miner's shingle scan
+    (round-6, second pass at the round-5 VERDICT's guard-overhead item):
+    one projection computes the shingle array AND the token-stream
+    fingerprint — text is scanned once, and the guard's sizing action
+    doubles as the warm-up of the (expensive, interpreted higher-order)
+    shingle cache the mining plan reads anyway, so the guard no longer
+    pays a separate text pass. The clone-eligibility predicate
+    (``size(shingles) > 0``) later reads the cached ``_size`` instead of
+    recomputing shingles over the representatives.
 
-    Group stats come from a map-side-combinable groupBy (NOT a window:
-    a 10⁸-member clone group would buffer its whole partition in one
-    window task; partial min/count aggregation reduces it per map task).
-    Text never enters the stats shuffle — only (id, 32-byte fingerprint)
-    rows move; the representative rows join text back by id once.
-
-    The same single sizing action also MEASURES the clone-member count;
-    when it fits comfortably in a broadcast (≤ ``_BROADCAST_MEMBERS``
-    rows of two longs) the third return value says so and the expansion
-    joins broadcast their clone-map side — the rep-pair/label stream then
-    flows through the expansion with NO exchange at all. Clone-bomb
-    corpora (a 10⁷-member boilerplate group) exceed the cap and fall back
-    to shuffle joins; the decision is measured, never guessed."""
-    keyed = _materialize(
-        df.select(F.col(id_col), F.col(text_col)).withColumn(
-            "_tfp", token_stream_key(text_col)
-        )
+    Returns (sh_full, groups, clones?, broadcastable?): ``sh_full`` =
+    cached (_id, _sh, _size, _tfp) for every doc; ``groups`` = cached
+    (_tfp, _rep, _gs); the flags come from the single sizing action
+    (broadcastable? = measured clone-member count under the cap)."""
+    sh_full = _materialize(
+        df.select(
+            F.col(id_col).alias("_id"),
+            _shingles(text_col, n).alias("_sh"),
+            token_stream_key(text_col).alias("_tfp"),
+        ).withColumn("_size", F.size("_sh"))
     )
     groups = _materialize(
-        keyed.groupBy("_tfp").agg(
-            F.min(id_col).alias("_rep"), F.count(F.lit(1)).alias("_gs")
+        sh_full.groupBy("_tfp").agg(
+            F.min("_id").alias("_rep"), F.count(F.lit(1)).alias("_gs")
         )
     )
     row = (
@@ -545,46 +544,73 @@ def _collapse_for_mining(
         )
         .first()
     )
-    if row["g"] == 0:
-        return keyed.drop("_tfp"), None, False
-    rep_df = keyed.drop("_tfp").join(
-        groups.select(F.col("_rep").alias(id_col)), id_col, "left_semi"
+    return sh_full, groups, row["g"] > 0, row["m"] <= _BROADCAST_MEMBERS
+
+
+def _fused_token_collapse(
+    df: DataFrame, id_col: str, text_col: str
+) -> tuple[DataFrame, DataFrame, bool, bool]:
+    """Token-stream twin of :func:`_fused_shingle_collapse` for miners
+    that consume TOKENS rather than shingles (SimHash): one projection
+    tokenizes once and derives both the token array and its stream
+    fingerprint (md5 of the space-joined stream — identical key to
+    :func:`token_stream_key`, computed from the array so the text is
+    never re-tokenized). Returns (tokf, groups, clones?, broadcastable?)
+    with ``tokf`` = cached (_id, _tok, _size, _tfp)."""
+    tokf = _materialize(
+        df.select(F.col(id_col).alias("_id"), tokens(text_col).alias("_tok"))
+        .withColumn("_tfp", F.md5(F.concat_ws(" ", F.col("_tok"))))
+        .withColumn("_size", F.size("_tok"))
     )
+    groups = _materialize(
+        tokf.groupBy("_tfp").agg(
+            F.min("_id").alias("_rep"), F.count(F.lit(1)).alias("_gs")
+        )
+    )
+    row = (
+        groups.filter(F.col("_gs") > 1)
+        .agg(
+            F.count(F.lit(1)).alias("g"),
+            F.coalesce(F.sum("_gs"), F.lit(0)).alias("m"),
+        )
+        .first()
+    )
+    return tokf, groups, row["g"] > 0, row["m"] <= _BROADCAST_MEMBERS
+
+
+def _rep_rows(sh_full: DataFrame, groups: DataFrame) -> DataFrame:
+    """Representative rows of a fused (shingle or token) frame (one per distinct
+    token stream) — the collapsed mining input. A semi join against the
+    cached group reps; materialized so the mining plan's several
+    references (sizes, inverted index, verify arrays) share one copy."""
+    return _materialize(
+        sh_full.join(
+            groups.select(F.col("_rep").alias("_id")), "_id", "left_semi"
+        ).drop("_tfp")
+    )
+
+
+def _multi_members_and_mined(
+    sh_full: DataFrame, groups: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """(members_multi, mined) for pair expansion, from the cached fused
+    frames only: members of multi-member groups, and the multi-group
+    representatives that actually mine (cached ``_size > 0`` — no
+    shingle recomputation)."""
+    multi = groups.filter(F.col("_gs") > 1)
     members_multi = (
-        keyed.select(F.col(id_col).alias("_id"), "_tfp")
-        .join(groups.filter(F.col("_gs") > 1).select("_tfp", "_rep"), "_tfp")
+        sh_full.select("_id", "_tfp")
+        .join(multi.select("_tfp", "_rep"), "_tfp")
         .select("_id", "_rep")
     )
-    return rep_df, members_multi, row["m"] <= _BROADCAST_MEMBERS
-
-
-# clone-map rows (two longs each) below this measured size broadcast in the
-# expansion joins: ~16 MB serialized at the cap, far under executor memory,
-# and the alternative is 4-6 tiny-but-scheduled shuffle stages per miner call
-_BROADCAST_MEMBERS = 1_000_000
+    mined = multi.select(F.col("_rep").alias("_id")).join(
+        sh_full.filter(F.col("_size") > 0).select("_id"), "_id", "left_semi"
+    )
+    return members_multi, mined
 
 
 def _maybe_broadcast(df: DataFrame, small: bool) -> DataFrame:
     return F.broadcast(df) if small else df
-
-
-def _mined_multi_reps(
-    rep_df: DataFrame,
-    id_col: str,
-    members_multi: DataFrame,
-    mined_pred,
-    small: bool = False,
-) -> DataFrame:
-    """Representatives of MULTI-member groups that actually mine (produce
-    ≥1 shingle/token per ``mined_pred``) — the intra-pair eligibility set.
-    Evaluates the (expensive) predicate over the clone groups only, not
-    every representative (round-5 did the latter)."""
-    multi = members_multi.select(F.col("_rep").alias(id_col)).distinct()
-    return (
-        rep_df.join(_maybe_broadcast(multi, small), id_col, "left_semi")
-        .filter(mined_pred)
-        .select(F.col(id_col))
-    )
 
 
 def _expand_pairs_multi(
@@ -601,7 +627,7 @@ def _expand_pairs_multi(
     the rep id — exactly the identity row the full membership map carried).
     Join traffic is O(pairs + clone members) instead of O(pairs × n);
     with ``small`` (clone-member count measured under the broadcast cap by
-    :func:`_collapse_for_mining`) the clone-map sides broadcast and the
+    the fused collapse sizing action) the clone-map sides broadcast and the
     pair stream never exchanges."""
     score = [F.col(score_col)] if score_col else []
     ma = members_multi.select(F.col("_rep").alias("id_a"), F.col("_id").alias("_a"))
@@ -678,35 +704,58 @@ def minhash_lsh_pairs(
     streams to one representative before banding and expands the pairs
     back afterwards — the lossless band-bucket skew guard
     (:func:`collapse_identical_docs`): m byte-identical docs cost O(m)
-    candidate rows instead of O(m²)-per-band."""
+    candidate rows instead of O(m²)-per-band. Round 6: the collapse key
+    rides the miner's own shingle scan (:func:`_fused_shingle_collapse`)
+    so the guard costs no extra text pass; the fused frame also serves
+    the exact-Jaccard verify arrays, removing the OFF path's separate
+    verify scan."""
     if collapse_identical:
-        rep_df, members_multi, small = _collapse_for_mining(df, id_col, text_col)
-        rep_pairs = minhash_lsh_pairs(
-            rep_df,
-            id_col,
-            text_col,
-            n=n,
-            num_hashes=num_hashes,
-            bands=bands,
-            threshold=threshold,
-            verify=verify,
-            collapse_identical=False,
+        sh_full, groups, clones, small = _fused_shingle_collapse(
+            df, id_col, text_col, n
         )
-        if members_multi is None:
-            return rep_pairs
+        if not clones:
+            return _minhash_pairs_on_shingles(
+                sh_full.drop("_tfp"), num_hashes, bands, threshold, verify
+            )
+        rep_pairs = _minhash_pairs_on_shingles(
+            _rep_rows(sh_full, groups), num_hashes, bands, threshold, verify
+        )
         # clone-group reps that produce a signature: ≥1 shingle (docs
         # shorter than the shingle length never enter the index and must
-        # not pair)
-        mined = _mined_multi_reps(
-            rep_df, id_col, members_multi,
-            F.size(_shingles(text_col, n)) > 0, small,
-        )
+        # not pair) — read from the cached _size, never recomputed
+        members_multi, mined = _multi_members_and_mined(sh_full, groups)
         return _expand_pairs_multi(
             rep_pairs, members_multi, mined,
             "jaccard" if verify else None, 1.0, small,
         )
+    sh = _materialize(
+        df.select(F.col(id_col).alias("_id"), _shingles(text_col, n).alias("_sh"))
+        .withColumn("_size", F.size("_sh"))
+    )
+    return _minhash_pairs_on_shingles(sh, num_hashes, bands, threshold, verify)
+
+
+def _minhash_pairs_on_shingles(
+    sh: DataFrame, num_hashes: int, bands: int, threshold: float, verify: bool
+) -> DataFrame:
+    """Banding + candidate join + optional exact verify over a prepared
+    (materialized) ``(_id, _sh[, _size])`` shingle frame — one shingle
+    computation feeds the signatures AND the verify arrays (the pre-fusion
+    plan scanned text twice: once for signatures, once for verify)."""
     rows_per_band = num_hashes // bands
-    sig = _materialize(minhash_signatures(df, id_col, text_col, n, num_hashes))
+    inv = sh.select("_id", F.explode("_sh").alias("shingle"))
+    mins = [
+        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    sig = _materialize(
+        inv.groupBy("_id")
+        .agg(*mins)
+        .select(
+            "_id",
+            F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig"),
+        )
+    )
     band_cols = [
         F.xxhash64(
             F.lit(b), *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)]
@@ -732,9 +781,6 @@ def minhash_lsh_pairs(
     )
     if not verify:
         return cand
-    sh = _materialize(
-        df.select(F.col(id_col).alias("_id"), _shingles(text_col, n).alias("_sh"))
-    )
     out = (
         cand.join(sh.withColumnsRenamed({"_id": "id_a", "_sh": "sh_a"}), "id_a")
         .join(sh.withColumnsRenamed({"_id": "id_b", "_sh": "sh_b"}), "id_b")
@@ -814,6 +860,19 @@ def simhash_fingerprints(
     Output: (_id, simhash[, simhash1..simhash{W-1}], band0..band{B-1}).
     Word 0 keeps the name ``simhash`` so single-word callers (and the
     portable DuckDB oracle) are unchanged."""
+    tok = df.select(
+        F.col(id_col).alias("_id"), F.explode(tokens(text_col)).alias("t")
+    )
+    return _simhash_fps_on_tok(tok, n_bands, portable_hash, n_words)
+
+
+def _simhash_fps_on_tok(
+    tok: DataFrame, n_bands: int, portable_hash: bool, n_words: int
+) -> DataFrame:
+    """Bit-vote + band assembly of :func:`simhash_fingerprints`, over an
+    already-exploded ``(_id, t)`` token frame — shared by the fused
+    collapse path (tokens come from the cached token array, text is not
+    re-tokenized) and the direct text path."""
     word_bits = 60 if portable_hash else 64
     word_names = ["simhash"] + [f"simhash{w}" for w in range(1, n_words)]
     # distribute bands over words (near-equal counts), widths within word
@@ -832,9 +891,6 @@ def simhash_fingerprints(
             f"(n_words) or lower the radius/bands",
             stacklevel=2,
         )
-    tok = df.select(
-        F.col(id_col).alias("_id"), F.explode(tokens(text_col)).alias("t")
-    )
     for w in range(n_words):
         tok = tok.withColumn(f"h{w}", _word_hash(w, portable_hash))
     one = F.lit(1).cast("long")
@@ -906,36 +962,47 @@ def simhash_near_dup_pairs(
     one representative, pairs expanded back exactly afterwards (hamming 0
     within a group; a member inherits its rep's hamming to everything
     else) — see :func:`collapse_identical_docs` for the band-bucket skew
-    rationale."""
+    rationale. Round 6: the collapse key rides the miner's own
+    tokenization (:func:`_fused_token_collapse`), so the guard costs no
+    extra text pass and the ≥1-token eligibility predicate reads the
+    cached token count."""
+    if n_bands is None:
+        n_bands = max_hamming + 1
     if collapse_identical:
-        rep_df, members_multi, small = _collapse_for_mining(df, id_col, text_col)
-        rep_pairs = simhash_near_dup_pairs(
-            rep_df,
-            id_col,
-            text_col,
-            max_hamming=max_hamming,
-            n_bands=n_bands,
-            portable_hash=portable_hash,
-            n_words=n_words,
-            collapse_identical=False,
+        tokf, groups, clones, small = _fused_token_collapse(df, id_col, text_col)
+        mk = lambda frame: _simhash_pairs_on_tokens(  # noqa: E731
+            frame, max_hamming, n_bands, portable_hash, n_words
         )
-        if members_multi is None:
-            return rep_pairs
+        if not clones:
+            return mk(tokf.drop("_tfp"))
+        rep_pairs = mk(_rep_rows(tokf, groups))
         # clone-group reps that produce a fingerprint: ≥1 token (empty
         # docs never enter the bit-vote agg and must not pair)
-        mined = _mined_multi_reps(
-            rep_df, id_col, members_multi, F.size(tokens(text_col)) > 0, small
-        )
+        members_multi, mined = _multi_members_and_mined(tokf, groups)
         return _expand_pairs_multi(
             rep_pairs, members_multi, mined, "hamming", 0, small
         )
-    if n_bands is None:
-        n_bands = max_hamming + 1
+    tokf = _materialize(
+        df.select(F.col(id_col).alias("_id"), tokens(text_col).alias("_tok"))
+    )
+    return _simhash_pairs_on_tokens(
+        tokf, max_hamming, n_bands, portable_hash, n_words
+    )
+
+
+def _simhash_pairs_on_tokens(
+    tokf: DataFrame,
+    max_hamming: int,
+    n_bands: int,
+    portable_hash: bool,
+    n_words: int,
+) -> DataFrame:
+    """Band-candidate join + exact popcount filter of
+    :func:`simhash_near_dup_pairs`, over a prepared (materialized)
+    ``(_id, _tok, ...)`` token-array frame."""
     fps = _materialize(
-        simhash_fingerprints(
-            df,
-            id_col,
-            text_col,
+        _simhash_fps_on_tok(
+            tokf.select("_id", F.explode("_tok").alias("t")),
             n_bands=n_bands,
             portable_hash=portable_hash,
             n_words=n_words,
@@ -1000,27 +1067,30 @@ def duplicate_clusters(
 
     Returns (node, cluster_rep). Property-tested equal to the pair-list
     path on mixed clone/near-dup corpora."""
-    rep_df, members_multi, small = _collapse_for_mining(df, id_col, text_col)
-    rep_pairs = ngram_jaccard_pairs(
-        rep_df,
-        id_col,
-        text_col,
-        n=n,
-        threshold=threshold,
-        collapse_identical=False,
-        **ngram_kw,
+    unknown = set(ngram_kw) - {"max_shingle_freq", "prefix_filter"}
+    if unknown:
+        raise TypeError(f"duplicate_clusters: unknown ngram kwargs {unknown}")
+    sh_full, groups, clones, small = _fused_shingle_collapse(
+        df, id_col, text_col, n
     )
+    mine = lambda sh: _ngram_pairs_on_shingles(  # noqa: E731
+        sh,
+        threshold,
+        ngram_kw.get("max_shingle_freq"),
+        ngram_kw.get("prefix_filter"),
+    )
+    if not clones:  # no clones: the full graph IS the rep graph
+        return connected_components(
+            mine(sh_full.drop("_tfp")), algorithm=algorithm, max_iters=max_iters
+        )
+    rep_pairs = mine(_rep_rows(sh_full, groups))
     rep_labels = connected_components(
         rep_pairs, algorithm=algorithm, max_iters=max_iters
     )
-    if members_multi is None:  # no clones: the rep graph IS the graph
-        return rep_labels
     # multi-member groups cluster even with no cross-group pair — but only
     # if the group produces shingles (sub-shingle-length docs never pair);
-    # the predicate runs over the clone groups only (round 6)
-    mined = _mined_multi_reps(
-        rep_df, id_col, members_multi, F.size(_shingles(text_col, n)) > 0, small
-    )
+    # the predicate reads the cached _size of the clone-group reps only
+    members_multi, mined = _multi_members_and_mined(sh_full, groups)
     labels_rep = rep_labels.select(F.col("node").alias("_rep"), "cluster_rep")
     mm = members_multi.join(
         _maybe_broadcast(

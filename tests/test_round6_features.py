@@ -107,9 +107,11 @@ def test_collapse_fast_path_no_clones(spark):
     docs = [(i, f"unique document number {i} about topic {i % 7} words "
                 f"padding alpha beta gamma {i}") for i in range(40)]
     df = spark.createDataFrame(docs, "doc_id long, text string")
-    rep_df, members_multi, _small = dedup._collapse_for_mining(df, "doc_id", "text")
-    assert members_multi is None
-    assert rep_df.count() == 40
+    sh_full, _groups, clones, _small = dedup._fused_shingle_collapse(
+        df, "doc_id", "text", 3
+    )
+    assert clones is False
+    assert sh_full.count() == 40
     on = sorted(
         tuple(r)
         for r in dedup.ngram_jaccard_pairs(
@@ -201,9 +203,21 @@ def test_collapse_for_mining_reports_broadcastable_clone_map(spark):
         (10, "another unrelated document body entirely different")
     ]
     df = spark.createDataFrame(docs, "doc_id long, text string")
-    rep_df, mm, small = dedup._collapse_for_mining(df, "doc_id", "text")
+    sh_full, groups, clones, small = dedup._fused_shingle_collapse(
+        df, "doc_id", "text", 3
+    )
+    assert clones is True
     assert small is True  # 4 clone members, far under the broadcast cap
+    mm, mined = dedup._multi_members_and_mined(sh_full, groups)
     assert mm.count() == 4
+    assert mined.count() == 1  # one clone-group rep, and it mines
+    # token-frame twin used by the SimHash miner: same group structure
+    tokf, tgroups, tclones, tsmall = dedup._fused_token_collapse(
+        df, "doc_id", "text"
+    )
+    assert (tclones, tsmall) == (True, True)
+    tmm, _ = dedup._multi_members_and_mined(tokf, tgroups)
+    assert tmm.count() == 4
 
 
 # ---------------------------------------------------------------------------
