@@ -204,6 +204,16 @@ def main() -> None:
         out["scaling_efficiency_min"] = s.get("scaling_efficiency_min")
         out["scaling_efficiency_median"] = s.get("scaling_efficiency_median")
         out["scaling_measured_at"] = s.get("measured_at")
+    # Host state AT THIS MEASUREMENT: the sandbox's delivered parallelism
+    # drifts between sessions (identical code has measured 2-4× apart on
+    # the same fixture) — a per-round number is only comparable to last
+    # round's alongside the parallelism the host delivered while it ran.
+    try:
+        from bench_scaling import host_calibration
+
+        out["host_calibration"] = host_calibration()
+    except Exception:
+        pass
     print(json.dumps(out))
 
 
