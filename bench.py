@@ -190,17 +190,21 @@ def main() -> None:
         "validated_turns_per_sec": round(turns_per_sec),
         **extras,
     }
-    # standing north-star row: fold in the latest 60M-row scaling run's 4N
-    # wall time (written by bench_scaling.py) so the workload the north
-    # rule is actually about has a tracked round-over-round trend
+    # standing north-star row: fold in the latest scaling run's 4N wall
+    # time (written by bench_scaling.py) so the workload the north rule is
+    # actually about has a tracked round-over-round trend; key names carry
+    # the measured row count so a protocol resize can't mislabel the trend
     scaling_json = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH", "scaling_latest.json"
     )
     if os.path.exists(scaling_json):
         with open(scaling_json) as f:
             s = json.load(f)
-        out["transcripts_60m_4n_sec"] = s["local_4n"]["median_sec"]
-        out["transcripts_60m_rows"] = s["local_4n"]["rows"]
+        srows = s["local_4n"]["rows"]
+        out[f"transcripts_{srows // 1_000_000}m_4n_sec"] = s["local_4n"][
+            "median_sec"
+        ]
+        out[f"transcripts_{srows // 1_000_000}m_rows"] = srows
         out["scaling_efficiency_min"] = s.get("scaling_efficiency_min")
         out["scaling_efficiency_median"] = s.get("scaling_efficiency_median")
         out["scaling_measured_at"] = s.get("measured_at")
