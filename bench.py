@@ -207,6 +207,9 @@ def main() -> None:
         out[f"transcripts_{srows // 1_000_000}m_rows"] = srows
         out["scaling_efficiency_min"] = s.get("scaling_efficiency_min")
         out["scaling_efficiency_median"] = s.get("scaling_efficiency_median")
+        out["scaling_efficiency_paired_median"] = s.get(
+            "scaling_efficiency_pairwise", {}
+        ).get("median")
         out["scaling_measured_at"] = s.get("measured_at")
     # Host state AT THIS MEASUREMENT: the sandbox's delivered parallelism
     # drifts between sessions (identical code has measured 2-4× apart on
