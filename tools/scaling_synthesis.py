@@ -1,0 +1,116 @@
+"""Cross-measurement synthesis of the round's scaling evidence.
+
+Each bench_scaling.py measurement is a small (5-7 healthy pairs) sample of
+pair efficiencies drawn from the host's drifting window mixture; a single
+measurement's paired median carries a bootstrap CI too wide to resolve the
+0.8 criterion (measured: [0.679, 0.914] on 5 pairs). Measurements taken
+under the SAME protocol are samples of the same dimensionless ratio —
+pair efficiency does not depend on the input size, only on how cleanly the
+window delivered 4x cores — so pooling their healthy pairs is a standard
+meta-analysis that shrinks the CI roughly with 1/sqrt(total pairs).
+
+This tool reads every footprint-sized-protocol record under BENCH/history/
+plus BENCH/scaling_latest.json, pools the HEALTHY pairs, and reports:
+
+- pooled paired median + deterministic bootstrap 95% CI
+- symmetric 20%-trimmed mean (the "trimmed estimator with documented
+  spread" alternative the round-5 VERDICT sanctioned)
+- per-measurement provenance rows
+
+It GATES nothing — the per-measurement v3 gate stands on its own — it is
+the honest aggregate view written into BENCH/BASELINE.md's appendix.
+
+Usage: python tools/scaling_synthesis.py
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# Only measurements of the footprint-sized protocol (1 vs 4 single-core
+# executors) pool: the 2-core-executor measurements sampled a different
+# (host-capped) configuration and are kept in history for forensics only.
+POOL_MASTERS = ("local-cluster[1,1", "local-cluster[4,1")
+
+
+def _boot_ci_median(vals: list[float], iters: int = 4000) -> list[float]:
+    n = len(vals)
+    if n < 2:
+        return [vals[0], vals[0]] if vals else [0.0, 0.0]
+    seed = 0x2545F4914F6CDD1D
+    meds = []
+    for _ in range(iters):
+        sample = []
+        for _ in range(n):
+            seed = (6364136223846793005 * seed + 1442695040888963407) % (1 << 64)
+            sample.append(vals[(seed >> 33) % n])
+        sample.sort()
+        m = sample[n // 2] if n % 2 else (sample[n // 2 - 1] + sample[n // 2]) / 2
+        meds.append(m)
+    meds.sort()
+    return [round(meds[int(0.025 * iters)], 3), round(meds[int(0.975 * iters)], 3)]
+
+
+def synthesize(paths: list[str] | None = None) -> dict:
+    if paths is None:
+        paths = sorted(glob.glob(os.path.join(REPO, "BENCH", "history", "*.json")))
+        latest = os.path.join(REPO, "BENCH", "scaling_latest.json")
+        if os.path.exists(latest):
+            paths.append(latest)
+    rows = []
+    seen: set[str] = set()
+    for p in paths:
+        with open(p) as f:
+            r = json.load(f)
+        if not str(r.get("master_n", "")).startswith(POOL_MASTERS[0]):
+            continue
+        stamp = r.get("measured_at", os.path.basename(p))
+        if stamp in seen:  # scaling_latest may duplicate a history file
+            continue
+        seen.add(stamp)
+        healthy = [p_ for p_ in r.get("pairs", []) if p_.get("healthy")]
+        effs = [round(p_["sec_n"] / (4 * p_["sec_4n"]), 3) for p_ in healthy]
+        rows.append(
+            {
+                "file": os.path.relpath(p, REPO),
+                "measured_at": stamp,
+                "rows": r.get("local_n", {}).get("rows"),
+                "healthy_pair_effs": effs,
+                "eff_min": r.get("scaling_efficiency_min"),
+                "paired_median": r.get("scaling_efficiency_pairwise", {}).get(
+                    "median"
+                ),
+            }
+        )
+    pooled = sorted(e for row in rows for e in row["healthy_pair_effs"])
+    n = len(pooled)
+    if n == 0:
+        return {"measurements": rows, "pooled_n_pairs": 0}
+    median = pooled[n // 2] if n % 2 else (pooled[n // 2 - 1] + pooled[n // 2]) / 2
+    trim = max(1, n // 5)  # symmetric 20% trim
+    trimmed = pooled[trim : n - trim] if n > 2 * trim else pooled
+    return {
+        "measurements": rows,
+        "pooled_n_pairs": n,
+        "pooled_pair_effs": pooled,
+        "pooled_paired_median": round(median, 3),
+        "pooled_median_bootstrap_ci95": _boot_ci_median(pooled),
+        "pooled_trimmed_mean_20pct": round(sum(trimmed) / len(trimmed), 3),
+        "n_pairs_ge_target": sum(1 for e in pooled if e >= 0.8),
+        "target": 0.8,
+    }
+
+
+def main() -> None:
+    out = synthesize()
+    print(json.dumps(out, indent=1))
+    with open(os.path.join(REPO, "BENCH", "scaling_synthesis.json"), "w") as f:
+        json.dump(out, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()
