@@ -98,6 +98,16 @@ def keep_first_strategy(
     )
 
 
+# Slack subtracted inside every ceil()-based PPJoin prune bound before
+# rounding: double arithmetic can land an ulp above a true integer
+# (0.2/1.2*18 = 3.0000000000000004), and ceil of that over-tightens an
+# "exact" filter into dropping threshold-boundary pairs. 1e-7 is orders of
+# magnitude above accumulated double error at any realistic shingle-set
+# size and orders below 1, so it can only relax a bound that float error
+# had spuriously tightened — extra candidates are removed by the exact
+# verify stage.
+_EXACT_EPS = 1e-7
+
 def exact_dedup_keep_first(
     df: DataFrame,
     cols: list[str],
@@ -235,7 +245,18 @@ def ngram_prefix_index(
             ),
         )
     )
-    plen = F.col("_size") - F.ceil(F.lit(float(threshold)) * F.col("_size")) + 1
+    # _EXACT_EPS inside the ceil: t·|x| computed in doubles can land an
+    # ulp ABOVE its true integer value (0.2*15 = 3.0000000000000004), which
+    # would shorten the prefix below the exact-recall bound and silently
+    # drop boundary pairs. Subtracting the epsilon can only lengthen the
+    # prefix (looser, still exact); it is far above double error (~1e-10
+    # at realistic set sizes) and far below any legitimate non-integer gap
+    # the filter should respect.
+    plen = (
+        F.col("_size")
+        - F.ceil(F.lit(float(threshold)) * F.col("_size") - F.lit(_EXACT_EPS))
+        + 1
+    )
     return (
         ranked.join(sizes, "_id")
         .filter(F.col("_rn") <= plen)
@@ -349,15 +370,28 @@ def _ngram_pairs_on_shingles(
         # α = ⌈t/(1+t)·(|x|+|y|)⌉ must hold there; a qualifying pair
         # always survives at that occurrence, so keeping pairs with ≥1
         # surviving occurrence loses nothing.
+        # all three prune bounds subtract _EXACT_EPS inside the ceil: the
+        # float product can land an ulp above its true integer value
+        # (measured: 0.2/1.2·18 = 3.0000000000000004 → ceil 4, pruning a
+        # true boundary pair with overlap 3 and jaccard exactly 0.2); the
+        # epsilon only ever LOOSENS pruning, and the exact array_intersect
+        # verify below removes any extra candidates it admits.
         alpha = F.ceil(
             t / (t + F.lit(1.0)) * (F.col("a._size") + F.col("b._size"))
+            - F.lit(_EXACT_EPS)
         )
         cand = (
             a.join(b, on="shingle")
             .filter(F.col("a._id") < F.col("b._id"))
             .filter(
-                (F.col("b._size") >= F.ceil(t * F.col("a._size")))
-                & (F.col("a._size") >= F.ceil(t * F.col("b._size")))
+                (
+                    F.col("b._size")
+                    >= F.ceil(t * F.col("a._size") - F.lit(_EXACT_EPS))
+                )
+                & (
+                    F.col("a._size")
+                    >= F.ceil(t * F.col("b._size") - F.lit(_EXACT_EPS))
+                )
             )
             .filter(
                 F.lit(1)

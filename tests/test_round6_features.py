@@ -518,3 +518,44 @@ def test_star_local_finish_fires_under_default_cap(spark):
     }
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10,
                    20: 20, 21: 20, 22: 20, 23: 20}
+
+
+def test_prefix_path_keeps_float_boundary_pair(spark):
+    """Regression (round 6): the PPJoin positional filter computed
+    α = ceil(t/(1+t)·(|x|+|y|)) in doubles; at t=0.2 with |x|+|y|=18 the
+    product lands an ulp above its true value 3 (3.0000000000000004),
+    ceil over-tightens α to 4, and a true threshold-boundary pair
+    (overlap 3, jaccard exactly 0.2) was silently pruned — found by the
+    prefix==counting hypothesis property test (seed 1). All ceil-based
+    prune bounds now subtract _EXACT_EPS before rounding."""
+    import random as _random
+
+    rng = _random.Random(1)
+    docs = []
+    for i in range(6):
+        L = rng.randint(2, 10)
+        toks = [f"w{rng.randrange(8)}" for _ in range(L)]
+        docs.append((i, " ".join(toks)))
+        if rng.random() < 0.4:
+            mut = list(toks)
+            if rng.random() < 0.5 and len(mut) > 2:
+                mut.pop(rng.randrange(len(mut)))
+            else:
+                mut.append(f"w{rng.randrange(8)}")
+            docs.append((1000 + i, " ".join(mut)))
+    df = spark.createDataFrame(pd.DataFrame(docs, columns=["doc_id", "text"]))
+    kw = dict(n=2, threshold=0.2)
+    prefix = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in dedup.ngram_jaccard_pairs(
+            df, "doc_id", "text", prefix_filter=True, **kw
+        ).collect()
+    }
+    counting = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in dedup.ngram_jaccard_pairs(
+            df, "doc_id", "text", prefix_filter=False, **kw
+        ).collect()
+    }
+    assert (5, 1001, 0.2) in prefix  # the boundary pair the old α dropped
+    assert prefix == counting
