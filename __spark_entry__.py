@@ -30,8 +30,54 @@ from pysemantic_spark.operators.runner import validate
 from pysemantic_spark.spec import DatasetSpec
 
 
+_SCAN_SPLITS_MEMO: dict[str, tuple[float, int, int]] = {}
+
+
+def _scan_splittability(path: str) -> tuple[int, int]:
+    """(total row groups, total bytes) of a parquet file/dir — parquet
+    scans parallelize at ROW-GROUP granularity, so this is the number of
+    tasks a scan can actually use no matter how small the byte splits
+    are. Memoized per path+mtime (footer reads are driver-local, ~ms)."""
+    import pyarrow.parquet as pq
+
+    files = []
+    if os.path.isfile(path):
+        files = [path]
+    else:
+        for root, _, names in os.walk(path):
+            files += [os.path.join(root, n) for n in names if n.endswith(".parquet")]
+    key = path
+    mt = max((os.stat(f).st_mtime for f in files), default=0.0)
+    hit = _SCAN_SPLITS_MEMO.get(key)
+    if hit and hit[0] == mt:
+        return hit[1], hit[2]
+    rg = sum(pq.ParquetFile(f).num_row_groups for f in files)
+    nbytes = sum(os.path.getsize(f) for f in files)
+    _SCAN_SPLITS_MEMO[key] = (mt, rg, nbytes)
+    return rg, nbytes
+
+
 def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    """Read a fixture table; WIDEN row-group-limited scans (round 7).
+
+    The fixture tables are single parquet files with ≤6 row groups, so a
+    plain scan runs at parallelism ≤6 regardless of cores — every
+    downstream projection (regex checks, shingling, hashing) was
+    single-digit-threaded on a 32-core host. When the scan cannot split
+    to the session's parallelism AND the table is small enough that one
+    round-robin exchange is trivial, repartition right after the read
+    (guide §2.5: "one huge unsplittable file … repartition immediately
+    after the read"). Deterministic: round-robin repartition sorts before
+    redistributing (SPARK-23207), and every declared query is
+    row-order-insensitive. At cluster scale inputs arrive as many files
+    (rg ≫ parallelism) and this is a no-op."""
+    path = f"{sf_dir}/{table}.parquet"
+    df = spark.read.parquet(path)
+    par = spark.sparkContext.defaultParallelism
+    rg, nbytes = _scan_splittability(path)
+    if rg < par and nbytes < 256 * 1024 * 1024:
+        df = df.repartition(par)
+    return df
 
 
 # ---------------------------------------------------------------------------
@@ -548,7 +594,10 @@ def q_streaming_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pysemantic_spark.streaming import validate_stream as vs
 
     ev_path = f"{sf_dir}/events.parquet"
-    ev = spark.read.parquet(ev_path)
+    # _read widens the row-group-limited fixture scan (round 7) — the
+    # BATCH side (baseline sketch over the even half) is projection-heavy;
+    # schema and values are unaffected by the repartition
+    ev = _read(spark, sf_dir, "events")
     base = ev.filter(F.col("event_id") % 2 == 0).select("value", "event_type")
     bl_path = os.path.join(
         tempfile.gettempdir(), f"stream_drift_bl_{uuid.uuid4().hex}.json"
@@ -579,15 +628,27 @@ def q_streaming_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream, baseline, ["value", "event_type"], ts_col="ts", window="1 hour"
     )
     qname = f"driftsk_{uuid.uuid4().hex[:12]}"
-    q = (
-        sk.writeStream.format("memory")
-        .queryName(qname)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.processAllAvailable()
-    q.stop()
+    # The stateful sketch agg's state cardinality is windows × cols × bins
+    # (a few thousand rows), but every micro-batch commits ONE state store
+    # per shuffle partition — at the session default (32) that is 32
+    # store commits per batch for ~50 rows each. Streaming queries pin
+    # their shuffle-partition count at FIRST start, so scope a small value
+    # to this query only (round-7, guide §2.4/§5; result-invariant: the
+    # agg output does not depend on partitioning).
+    _old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            sk.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", _old_sp)
     rows = spark.table(qname)
     # wire the scorer: every window must produce a full metric report
     report = vs.drift_rows_report(rows.collect(), baseline)
@@ -634,7 +695,10 @@ def q_streaming_drift_append_events(spark: SparkSession, sf_dir: str) -> DataFra
     from pysemantic_spark.streaming import validate_stream as vs
 
     ev_path = f"{sf_dir}/events.parquet"
-    ev = spark.read.parquet(ev_path)
+    # _read widens the row-group-limited fixture scan (round 7) — the
+    # BATCH side (baseline sketch over the even half) is projection-heavy;
+    # schema and values are unaffected by the repartition
+    ev = _read(spark, sf_dir, "events")
     base = ev.filter(F.col("event_id") % 2 == 0).select("value", "event_type")
     bl_path = os.path.join(
         tempfile.gettempdir(), f"append_drift_bl_{uuid.uuid4().hex}.json"
@@ -649,9 +713,19 @@ def q_streaming_drift_append_events(spark: SparkSession, sf_dir: str) -> DataFra
     os.makedirs(stage_dir)
     fa = os.path.join(stage_dir, "a_events.parquet")
     shutil.copy(ev_path, fa)
+    # keyed by NAME against the fixture schema (round-6 ADVICE: a fixture
+    # column reorder would silently misassign a positional tuple where
+    # types coincide), then projected into the schema's declared order
+    _sent = {
+        "event_id": 999999999,
+        "ts": max_ts + datetime.timedelta(hours=10),
+        "user_id": 1,
+        "event_type": "click",
+        "value": 5.0,
+        "props": "{}",
+    }
     sentinel = spark.createDataFrame(
-        [(999999999, max_ts + datetime.timedelta(hours=10), 1, "click", 5.0, "{}")],
-        ev.schema,
+        [tuple(_sent[f.name] for f in ev.schema.fields)], ev.schema
     )
     sent_out = stage_dir + "_sent"
     sentinel.coalesce(1).write.parquet(sent_out)
@@ -676,15 +750,25 @@ def q_streaming_drift_append_events(spark: SparkSession, sf_dir: str) -> DataFra
         ts_col="ts", window="1 hour", watermark="1 second",
     )
     qname = f"driftap_{uuid.uuid4().hex[:12]}"
-    q = (
-        sk.writeStream.format("memory")
-        .queryName(qname)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.processAllAvailable()
-    q.stop()
+    # same per-query shuffle-partition scoping as the complete-mode twin
+    # (round-7 / VERDICT r06 item 2): append mode pays the per-partition
+    # state-store commit cost TWICE (two micro-batches) plus watermark
+    # eviction reads; state is windows × cols × bins (~thousands of rows),
+    # so 4 stores per batch, not 32. Result-invariant.
+    _old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            sk.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", _old_sp)
     rows = spark.table(qname)
     os.unlink(bl_path)
     shutil.rmtree(stage_dir, ignore_errors=True)

@@ -64,7 +64,18 @@ def write_transcripts_parquet(
         # Spark cannot read TIMESTAMP(NANOS) parquet — force microseconds
         pdf["ts"] = pdf["ts"].astype("datetime64[us]")
         table = pa.Table.from_pandas(pdf, preserve_index=False)
-        pq.write_table(table, os.path.join(path, f"part-{i:04d}.parquet"))
+        # small row groups so Spark can SPLIT the scan: parquet scans
+        # parallelize at row-group granularity, and pyarrow's default
+        # (1M rows/group) made a 2M-row table a 2-task scan on a 32-core
+        # host — the whole validation pass ran at 1/16 of the machine
+        # (round-7; guide §2.5 "input skew: one huge unsplittable file").
+        # 62.5k rows ≈ 2 MB groups: fine-grained enough for any local
+        # core count, far above the small-file floor.
+        pq.write_table(
+            table,
+            os.path.join(path, f"part-{i:04d}.parquet"),
+            row_group_size=62_500,
+        )
         total += len(pdf)
         i += 1
     return total

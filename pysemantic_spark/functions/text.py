@@ -55,16 +55,40 @@ def punct_ratio(col: Column | str) -> Column:
 
 
 def mean_token_length(col: Column | str) -> Column:
+    """Mean whitespace-token length.
+
+    Round 7: the sum of token lengths IS the count of non-whitespace
+    characters (tokens are exactly the maximal non-\\s runs, and splitting
+    drops only whitespace), so one codegen'd regexp_replace+length replaces
+    the interpreted per-element aggregate() fold — same integer total,
+    same division, bit-identical result."""
+    c = F.col(col) if isinstance(col, str) else col
     tok = tokens(col)
-    total = F.aggregate(tok, F.lit(0), lambda acc, t: acc + F.length(t))
+    total = F.length(F.regexp_replace(c, r"\s", ""))
     return F.when(F.size(tok) > 0, total / F.size(tok)).otherwise(F.lit(0.0))
+
+
+def _marker_hits(c: Column, words: list[str]) -> Column:
+    """Count of whitespace-tokens of ``c`` whose lowercase form is in
+    ``words``, as ONE codegen'd regexp_count instead of an interpreted
+    filter() lambda over the token array.
+
+    Equivalence: a token is a maximal non-\\s run, so it matches iff the
+    run equals a marker word — anchored left by start-or-\\s (the consumed
+    separator belongs to the PREVIOUS gap; \\s+ gaps keep ≥1 char for the
+    lookbehind of the next match because the right anchor is a zero-width
+    lookahead) and right by the (?=\\s|$) lookahead. Marker words are
+    alphanumeric/CJK literals (no regex metacharacters)."""
+    pat = "(^|\\s)(" + "|".join(words) + ")(?=\\s|$)"
+    return F.regexp_count(F.lower(c), F.lit(pat))
 
 
 def stopword_ratio(col: Column | str, stopwords: list[str] | None = None) -> Column:
     """Fraction of tokens in a stopword list (quality-scoring feature)."""
     sw = stopwords or LANG_MARKERS["en"]
+    c = F.col(col) if isinstance(col, str) else col
     tok = tokens(col)
-    hits = F.size(F.filter(tok, lambda t: F.lower(t).isin(sw)))
+    hits = _marker_hits(c, sw)
     return F.when(F.size(tok) > 0, hits / F.size(tok)).otherwise(F.lit(0.0))
 
 
@@ -86,11 +110,13 @@ def lang_id(col: Column | str, markers: dict[str, list[str]] | None = None) -> C
     """Language-ID by marker-token hit count; deterministic argmax with
     first-declared-language tiebreak. Pure Column expr (no UDF)."""
     markers = markers or LANG_MARKERS
-    tok_lower = F.transform(tokens(col), F.lower)
+    c = F.col(col) if isinstance(col, str) else col
     scores = []
     for lang, words in markers.items():
-        hits = F.size(F.filter(tok_lower, lambda t: t.isin(words)))
-        scores.append((lang, hits))
+        # codegen'd regexp_count per language (round 7) — identical hit
+        # counts to the old interpreted filter(tokens) lambda, see
+        # _marker_hits for the anchoring argument
+        scores.append((lang, _marker_hits(c, words)))
     # argmax via chained whens against the running max, tie → earlier lang
     best = F.greatest(*[s for _, s in scores]) if len(scores) > 1 else scores[0][1]
     expr = F.lit("und")

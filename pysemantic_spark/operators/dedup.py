@@ -359,7 +359,11 @@ def _ngram_pairs_on_shingles(
             "left_anti",
         )
     if prefix_filter:
-        pref = ngram_prefix_index(inv, sizes, threshold)
+        # materialized: the self-join references the index TWICE — without
+        # persist the whole index construction (frequency agg + rarity
+        # row_number window) is computed once per side (round-7 plan audit:
+        # two full Window+SortMergeJoin subtrees in the before-plan)
+        pref = _materialize(ngram_prefix_index(inv, sizes, threshold))
         a, b = pref.alias("a"), pref.alias("b")
         t = F.lit(float(threshold))
         # PPJoin pruning at candidate generation, both EXACT for J ≥ t:
@@ -1043,20 +1047,29 @@ def _simhash_pairs_on_tokens(
         )
     )
     word_names = ["simhash"] + [f"simhash{w}" for w in range(1, n_words)]
-    cands = None
-    for b in range(n_bands):
-        a, c = fps.alias("a"), fps.alias("b")
-        p = (
-            a.join(c, F.col(f"a.band{b}") == F.col(f"b.band{b}"))
-            .filter(F.col("a._id") < F.col("b._id"))
-            .select(
-                F.col("a._id").alias("id_a"),
-                F.col("b._id").alias("id_b"),
-                *[F.col(f"a.{wn}").alias(f"sha_{w}") for w, wn in enumerate(word_names)],
-                *[F.col(f"b.{wn}").alias(f"shb_{w}") for w, wn in enumerate(word_names)],
-            )
+    # ONE self-join on exploded (band index, band value) keys — not
+    # n_bands separate self-joins unioned (round-7: the unioned plan paid
+    # 2×n_bands exchanges + a union before the distinct; the exploded join
+    # shuffles the same rows once and keeps the identical candidate set,
+    # since (bidx, bval) equality ⟺ equality in that band)
+    bucketed = fps.select(
+        "_id",
+        *word_names,
+        F.posexplode(
+            F.array(*[F.col(f"band{b}") for b in range(n_bands)])
+        ).alias("bidx", "bval"),
+    )
+    a, c = bucketed.alias("a"), bucketed.alias("b")
+    cands = (
+        a.join(c, on=["bidx", "bval"])
+        .filter(F.col("a._id") < F.col("b._id"))
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            *[F.col(f"a.{wn}").alias(f"sha_{w}") for w, wn in enumerate(word_names)],
+            *[F.col(f"b.{wn}").alias(f"shb_{w}") for w, wn in enumerate(word_names)],
         )
-        cands = p if cands is None else cands.unionByName(p)
+    )
     hamming = None
     for w in range(n_words):
         h = F.bit_count(F.col(f"sha_{w}").bitwiseXOR(F.col(f"shb_{w}")))

@@ -582,69 +582,117 @@ def embedding_near_dup_pairs(
       cos ≥ 0.5  (θ≤60°): k=6 → p≈0.088; L=24 → recall ≈ 0.89
       cos ≥ 0.4 (θ≤66.4°): k=8+probe → p≈0.14; L=24 → recall ≈ 0.975
     A single table (round-1 default) has recall = p — 9% at cos 0.5, which
-    silently dropped most qualifying pairs. Cost: candidates are
-    distinct()'d across tables/probes before the exact verify, so each
-    pair pays the cosine once however many tables it collides in; shuffle
-    volume is (id, 1 int bucket) per table (×(k+1) probes on ONE side);
-    vectors join back only for candidates, and the verify cosine runs in
-    one Arrow-batched pandas_udf (:func:`cosine_arrow`), not interpreted
-    per-pair folds."""
+    silently dropped most qualifying pairs.
+
+    Physical plan (round 7): verification is BUCKET-LOCAL. Vectors are
+    grouped once per (table, bucket); each bucket is verified against
+    itself and (with probing) its one-bit-flip partner buckets by ONE
+    normalized float64 GEMM per bucket pair inside mapInPandas — the same
+    arithmetic as :func:`cosine_pairs_exact` — and only SURVIVING pairs
+    (cos ≥ threshold) leave the task, deduplicated across tables by a tiny
+    groupBy. The previous plan materialized every colliding id pair before
+    verification (distinct over the candidate stream, then two joins
+    attaching vectors, then a per-pair Arrow cosine); at a non-selective
+    operating point the candidate stream is O(n²/buckets) rows and the
+    join-back shuffles candidates × vector payload — measured 114M
+    candidate pairs / ~120 GB of attached vectors at 20k docs, 157 s,
+    vs ~7 s bucket-local. Shuffle volume here is each vector × n_tables
+    (+ the ≤(k+1)-fold bucket-pair replication of packed buckets), and the
+    only per-pair rows that exist are true near-dups. Skew note: one
+    pathological bucket (a near-constant direction) packs into one task —
+    the cap is the same as the old plan's hot bucket, now without the
+    candidate-row blowup; identical-vector floods should be collapsed
+    upstream like the text miners do."""
     if n_probe_bits not in (0, 1):
         raise ValueError("n_probe_bits supports 0 (single) or 1 (multi-probe)")
-    from pysemantic_spark.operators.dedup import _materialize
-
-    base = _materialize(
-        df.select(
-            F.col(id_col).alias("_id"),
-            F.col(vec_col).alias("_vec"),
-            # one Arrow matmul for all tables' buckets — NOT n_tables
-            # interpreted fold expressions (10× at n_tables·n_planes ≳ 100)
-            hyperplane_buckets_arrow(
-                F.col(vec_col), dim, n_planes, n_tables, seed
-            ).alias("_buckets"),
-        )
+    id_type = df.schema[id_col].dataType.simpleString()
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_vec"),
+        # one Arrow matmul for all tables' buckets — NOT n_tables
+        # interpreted fold expressions (10× at n_tables·n_planes ≳ 100)
+        hyperplane_buckets_arrow(
+            F.col(vec_col), dim, n_planes, n_tables, seed
+        ).alias("_buckets"),
     )
-    bucketed = base.select(
-        "_id", F.posexplode("_buckets").alias("table", "bucket")
+    exploded = base.select(
+        "_id", "_vec", F.posexplode("_buckets").alias("tbl", "bk")
     )
-    probed = bucketed
+    packed = exploded.groupBy("tbl", "bk").agg(
+        F.collect_list("_id").alias("ids"), F.collect_list("_vec").alias("vecs")
+    )
+    # Bucket pairs that can hold a candidate: a bucket against itself, and
+    # (with probing) against each one-bit flip. Each unordered bucket pair
+    # is owned by its numerically-smaller member so it is verified ONCE; a
+    # flip always differs from its origin, so `>=` keeps the self pair and
+    # exactly the larger flips.
+    partners = [F.col("bk")]
     if n_probe_bits == 1:
-        # expand ONE side only: a pair with ≤1 differing plane in a table
-        # meets where the flipped probe of one side equals the other's
-        # exact bucket (flips are symmetric, so one-sided expansion covers
-        # both directions)
-        probed = base.select(
-            "_id", F.posexplode("_buckets").alias("table", "_b0")
-        ).select(
-            "_id",
-            "table",
-            F.explode(
-                F.array(
-                    F.col("_b0"),
-                    *[F.col("_b0").bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)],
-                )
-            ).alias("bucket"),
-        )
-    l, r = probed.alias("a"), bucketed.alias("b")
-    cand = (
-        l.join(r, on=["table", "bucket"])
-        .filter(F.col("a._id") < F.col("b._id"))
-        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
-        .distinct()
+        partners += [F.col("bk").bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)]
+    left = packed.select(
+        "tbl",
+        F.col("bk").alias("bk_a"),
+        F.col("ids").alias("ids_a"),
+        F.col("vecs").alias("vecs_a"),
+        F.explode(
+            F.array_compact(
+                F.array(*[F.when(p >= F.col("bk"), p) for p in partners])
+            )
+        ).alias("bk_b"),
     )
-    vecs = base.select("_id", "_vec")
-    return (
-        cand.join(vecs.withColumnsRenamed({"_id": "id_a", "_vec": "vec_a"}), "id_a")
-        .join(vecs.withColumnsRenamed({"_id": "id_b", "_vec": "vec_b"}), "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            cosine_arrow(F.col("vec_a"), F.col("vec_b")).alias("_raw"),
-        )
-        # threshold on the ROUND-6 cosine (same set semantics as
-        # cosine_pairs_exact; the SQL oracle thresholds round(...,6) too),
-        # so boundary membership is insensitive to sub-5e-7 accumulation-
-        # order differences between engines
-        .select("id_a", "id_b", F.round("_raw", 6).alias("cos_sim"))
-        .filter(F.col("cos_sim") >= threshold)
+    right = packed.select(
+        "tbl",
+        F.col("bk").alias("bk_b"),
+        F.col("ids").alias("ids_b"),
+        F.col("vecs").alias("vecs_b"),
+    )
+    joined = left.join(right, on=["tbl", "bk_b"])
+    thr = float(threshold)
+
+    def score(batches):
+        for pdf in batches:
+            for row in pdf.itertuples(index=False):
+                ids_a = np.asarray(row.ids_a)
+                A = np.stack([np.asarray(v, dtype=np.float64) for v in row.vecs_a])
+                na = np.linalg.norm(A, axis=1)
+                na[na == 0] = 1.0
+                An = A / na[:, None]
+                if row.bk_a == row.bk_b:
+                    G = An @ An.T
+                    ii, jj = np.triu_indices(len(A), k=1)
+                    ids_b = ids_a
+                else:
+                    ids_b = np.asarray(row.ids_b)
+                    B = np.stack(
+                        [np.asarray(v, dtype=np.float64) for v in row.vecs_b]
+                    )
+                    nb = np.linalg.norm(B, axis=1)
+                    nb[nb == 0] = 1.0
+                    G = An @ (B / nb[:, None]).T
+                    ii, jj = np.unravel_index(np.arange(G.size), G.shape)
+                # threshold on the ROUND-6 cosine (identical arithmetic to
+                # cosine_pairs_exact — normalized float64 GEMM, numpy round
+                # half-even at 1e-6 — and the SQL oracle thresholds
+                # round(...,6) too), so boundary membership is insensitive
+                # to sub-5e-7 accumulation-order differences between engines
+                cos = np.round(G[ii, jj], 6)
+                keep = cos >= thr
+                if not keep.any():
+                    continue
+                ia, ib = ids_a[ii[keep]], ids_b[jj[keep]]
+                lo, hi = np.minimum(ia, ib), np.maximum(ia, ib)
+                ok = lo != hi  # duplicate input ids never pair with themselves
+                yield pd.DataFrame(
+                    {"id_a": lo[ok], "id_b": hi[ok], "cos_sim": cos[keep][ok]}
+                )
+
+    survivors = joined.mapInPandas(
+        score, schema=f"id_a {id_type}, id_b {id_type}, cos_sim double"
+    )
+    # a pair surviving in several (table, bucket-pair) cells is emitted once
+    # per cell with the same cosine (identical float64 inputs); max() makes
+    # the kept value deterministic even if a BLAS blocking difference ever
+    # produced a last-ulp disagreement between cells
+    return survivors.groupBy("id_a", "id_b").agg(
+        F.max("cos_sim").alias("cos_sim")
     )

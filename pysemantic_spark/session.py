@@ -40,6 +40,28 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Runtime (AQE) sort-merge→broadcast conversion bound. The STATIC
+        # autoBroadcastJoinThreshold stays at its 10 MB default because it
+        # acts on size ESTIMATES (often wildly wrong after filters/UDFs);
+        # this one acts on MEASURED shuffle sizes, so 128 MB is safe and
+        # scale-adaptive by construction: a doc-bounded side (e.g. the
+        # shingle-array frame a pair-verify join attaches) broadcasts at
+        # bench scale — the pair stream then never exchanges its payload —
+        # while at 10^9 docs the measured size exceeds the bound and the
+        # join stays a shuffle join. (guide §3.1; round-7 measured: the
+        # ngram verify joins shuffled ~19 GB of shingle arrays without it)
+        .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "128m")
+        # Scan split size. The fixtures are single files with 2-21 MB row
+        # groups, and the 128m default packed each whole table into ONE
+        # scan task — every scan-heavy stage ran at parallelism ≤6 on a
+        # 32-core host (round-7; guide §6). 4m splits parallelize down to
+        # row-group granularity locally; on a real cluster with properly
+        # sized inputs raise this to 512m-1g (guide §6 recommends large
+        # sequential splits there — hence the env override).
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "4m"),
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
