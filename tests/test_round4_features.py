@@ -306,8 +306,21 @@ def test_similarity_operators_release_intermediates(spark):
         }
     )
     df = spark.createDataFrame(pdf)
+    # round-7 plan is single-pass bucket-local verify: nothing is (or
+    # should be) persisted — the operator must not LEAK persisted RDDs
     similarity.embedding_near_dup_pairs(
         df, dim=8, threshold=0.5, n_planes=4, n_tables=4
+    ).count()
+    release_intermediates(blocking=True)
+    assert _persistent_rdd_count(spark) <= base
+    # the multi-table top-k still persists its bucketed corpus via the
+    # tracked cache — the original intent of this test: similarity
+    # operators that persist do so through the RELEASABLE tracker
+    qdf = df.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    similarity.lsh_bucketed_topk(
+        df, qdf, dim=8, k=3, n_planes=4, n_tables=4, n_probe_bits=1
     ).count()
     assert tracked_count() > 0
     release_intermediates(blocking=True)
