@@ -524,14 +524,29 @@ def q_corpus_clean_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         lang_id("text").alias("pred_lang"),
         fingerprint("text").alias("fp"),
     )
-    kept = scored.filter(
-        (F.col("quality") >= 0.45) & (F.col("pred_lang") == "en")
+    # Quality/language gate as CONDITIONAL AGGREGATION, not a filter
+    # (round 7): a `filter(quality >= …)` on the computed columns gets
+    # predicate-pushed below the scan-widening repartition into the
+    # single-row-group scan task, where the ~13 regex evaluations per doc
+    # it embeds ran single-threaded AND were then re-evaluated by the
+    # surviving projection (guide §4.4's duplication, in JVM-expr form —
+    # measured 7.1 s at sf1.0). With the gate folded into `when()`s inside
+    # the aggregate there is no filter to push: the scored projection runs
+    # once, after the exchange, and each expression is evaluated once per
+    # row. Row-identical: groups are keyed by the same fp; min/count/max
+    # see exactly the gated rows; groups with no gated row (n_dups = 0)
+    # are dropped — the same groups the filtered groupBy never formed.
+    keep = (F.col("quality") >= 0.45) & (F.col("pred_lang") == "en")
+    return (
+        scored.groupBy("fp")
+        .agg(
+            F.min(F.when(keep, F.col("doc_id"))).alias("doc_id"),
+            F.count(F.when(keep, 1)).cast("long").alias("n_dups"),
+            F.max(F.when(keep, F.col("quality"))).alias("quality"),
+        )
+        .filter(F.col("n_dups") > 0)
+        .select("doc_id", "fp", "n_dups", "quality")
     )
-    return kept.groupBy("fp").agg(
-        F.min("doc_id").alias("doc_id"),
-        F.count(F.lit(1)).cast("long").alias("n_dups"),
-        F.max("quality").alias("quality"),
-    ).select("doc_id", "fp", "n_dups", "quality")
 
 
 def q_salted_user_counts_events(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -22,9 +22,12 @@ Scale notes (100 TB / 10^9 docs):
 
 from __future__ import annotations
 
+import hashlib
 import logging
+import re
 import warnings
 
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -33,6 +36,116 @@ from pysemantic_spark.operators.cache import materialize as _materialize  # noqa
 from pysemantic_spark.operators.cache import release_intermediates  # noqa: F401
 
 _LOG = logging.getLogger(__name__)
+
+# ---------------------------------------------------------------------------
+# Arrow-vectorized tokenize/shingle/fingerprint projections (round 7).
+#
+# The JVM expression path for shingling (`_shingles`: split + sequence +
+# transform(concat_ws(slice)) + array_distinct) is built from higher-order
+# functions, which do NOT whole-stage-codegen — every element is produced
+# through the interpreted expression evaluator. Measured at sf1.0 (50k docs,
+# 2.6M shingles, 32 cores): 3.1 s for the fused shingle+fingerprint
+# projection vs 0.7 s for the same computation done per Arrow batch in
+# Python (guide §4.2: hand whole batches to native/vectorized code instead
+# of interpreted per-element evaluation). Output is BYTE-IDENTICAL — the
+# Python functions below replicate Spark's exact semantics:
+#   - F.trim strips SPACES (0x20) only (not Java String.trim's ≤0x20 set)
+#   - Java regex \s == Python re.ASCII \s ([ \t\n\x0B\f\r])
+#   - split keeps leading/trailing empty tokens (Pattern.split, limit -1);
+#     the empty-after-trim string maps to [] via the tokens() when-branch
+#   - md5 of the UTF-8 bytes == Spark md5(cast(string as binary))
+#   - array_distinct keeps first-occurrence order == dict.fromkeys
+# (equivalence: test_arrow_text_kernels_match_jvm + the miners' oracles).
+# ---------------------------------------------------------------------------
+
+_JAVA_WS = re.compile(r"\s+", re.ASCII)
+
+
+def _py_tokens(s: str | None) -> list[str] | None:
+    """Exact Python mirror of :func:`pysemantic_spark.functions.text.tokens`."""
+    if s is None:
+        return None
+    st = s.strip(" ")
+    if st == "":
+        return []
+    return _JAVA_WS.split(st)
+
+
+def _py_shingles(toks: list[str], n: int, joined: str) -> list[str]:
+    """Distinct word n-grams as substrings of the space-joined token stream
+    (one slice per gram — no per-gram join). ``joined`` must be
+    ``" ".join(toks)``."""
+    if n == 1:
+        return list(dict.fromkeys(toks))
+    if len(toks) < n:
+        return []
+    offs, pos = [], 0
+    for tk in toks:
+        offs.append(pos)
+        pos += len(tk) + 1
+    return list(
+        dict.fromkeys(
+            joined[offs[i] : offs[i + n - 1] + len(toks[i + n - 1])]
+            for i in range(len(toks) - n + 1)
+        )
+    )
+
+
+_SH_TFP_UDFS: dict[int, object] = {}
+
+
+def _sh_tfp_arrow(n: int):
+    """pandas_udf: text → struct(sh: array<string>, tfp: string) — the
+    shingle array and the token-stream md5 in ONE Arrow-batched pass."""
+    if n not in _SH_TFP_UDFS:
+
+        @F.pandas_udf("sh array<string>, tfp string")
+        def _udf(texts: pd.Series) -> pd.DataFrame:
+            shs, fps = [], []
+            for s in texts:
+                toks = _py_tokens(s)
+                if toks is None:
+                    # tokens(NULL) is NULL; concat_ws skips the NULL array
+                    # (tfp = md5("")). The n≥2 when-chain in _shingles
+                    # yields [] on NULL, but the n==1 path is a bare
+                    # array_distinct(tok) — NULL in, NULL out.
+                    shs.append(None if n == 1 else [])
+                    fps.append(hashlib.md5(b"").hexdigest())
+                    continue
+                joined = " ".join(toks)
+                fps.append(hashlib.md5(joined.encode("utf-8")).hexdigest())
+                shs.append(_py_shingles(toks, n, joined))
+            return pd.DataFrame({"sh": shs, "tfp": fps})
+
+        _SH_TFP_UDFS[n] = _udf
+    return _SH_TFP_UDFS[n]
+
+
+_TOK_TFP_UDF: list = []
+
+
+def _tok_tfp_arrow(col):
+    """pandas_udf: text → struct(tok: array<string>, tfp: string).
+    (Created lazily — pandas_udf DDL return types need an active session.)"""
+    if not _TOK_TFP_UDF:
+
+        @F.pandas_udf("tok array<string>, tfp string")
+        def _udf(texts: pd.Series) -> pd.DataFrame:
+            toks_out, fps = [], []
+            for s in texts:
+                toks = _py_tokens(s)
+                toks_out.append(toks)
+                joined = " ".join(toks) if toks is not None else ""
+                fps.append(hashlib.md5(joined.encode("utf-8")).hexdigest())
+            return pd.DataFrame({"tok": toks_out, "tfp": fps})
+
+        _TOK_TFP_UDF.append(_udf)
+    return _TOK_TFP_UDF[0](col)
+
+
+def _shingles_arrow(text_col: str, n: int) -> "F.Column":
+    """Arrow-vectorized drop-in for :func:`_shingles` (same arrays)."""
+    return _sh_tfp_arrow(n)(F.col(text_col))["sh"]
 
 
 def exact_duplicates(df: DataFrame, cols: list[str]) -> DataFrame:
@@ -331,7 +444,7 @@ def ngram_jaccard_pairs(
             rep_pairs, members_multi, mined, "jaccard", 1.0, small
         )
     sh = _materialize(
-        df.select(F.col(id_col).alias("_id"), _shingles(text_col, n).alias("_sh"))
+        df.select(F.col(id_col).alias("_id"), _shingles_arrow(text_col, n).alias("_sh"))
         .withColumn("_size", F.size("_sh"))
     )
     return _ngram_pairs_on_shingles(sh, threshold, max_shingle_freq, prefix_filter)
@@ -562,11 +675,16 @@ def _fused_shingle_collapse(
     cached (_id, _sh, _size, _tfp) for every doc; ``groups`` = cached
     (_tfp, _rep, _gs); the flags come from the single sizing action
     (broadcastable? = measured clone-member count under the cap)."""
+    # ONE Arrow-batched pass computes shingles + the collapse key (struct
+    # selected once so the UDF runs once; see the Arrow-kernel note above)
     sh_full = _materialize(
         df.select(
             F.col(id_col).alias("_id"),
-            _shingles(text_col, n).alias("_sh"),
-            token_stream_key(text_col).alias("_tfp"),
+            _sh_tfp_arrow(n)(F.col(text_col)).alias("_st"),
+        ).select(
+            "_id",
+            F.col("_st.sh").alias("_sh"),
+            F.col("_st.tfp").alias("_tfp"),
         ).withColumn("_size", F.size("_sh"))
     )
     groups = _materialize(
@@ -596,9 +714,14 @@ def _fused_token_collapse(
     never re-tokenized). Returns (tokf, groups, clones?, broadcastable?)
     with ``tokf`` = cached (_id, _tok, _size, _tfp)."""
     tokf = _materialize(
-        df.select(F.col(id_col).alias("_id"), tokens(text_col).alias("_tok"))
-        .withColumn("_tfp", F.md5(F.concat_ws(" ", F.col("_tok"))))
-        .withColumn("_size", F.size("_tok"))
+        df.select(
+            F.col(id_col).alias("_id"),
+            _tok_tfp_arrow(F.col(text_col)).alias("_st"),
+        ).select(
+            "_id",
+            F.col("_st.tok").alias("_tok"),
+            F.col("_st.tfp").alias("_tfp"),
+        ).withColumn("_size", F.size("_tok"))
     )
     groups = _materialize(
         tokf.groupBy("_tfp").agg(
@@ -708,7 +831,7 @@ def minhash_signatures(
     inv = _materialize(
         df.select(
             F.col(id_col).alias("_id"),
-            F.explode(_shingles(text_col, n)).alias("shingle"),
+            F.explode(_shingles_arrow(text_col, n)).alias("shingle"),
         )
     )
     mins = [
@@ -767,7 +890,7 @@ def minhash_lsh_pairs(
             "jaccard" if verify else None, 1.0, small,
         )
     sh = _materialize(
-        df.select(F.col(id_col).alias("_id"), _shingles(text_col, n).alias("_sh"))
+        df.select(F.col(id_col).alias("_id"), _shingles_arrow(text_col, n).alias("_sh"))
         .withColumn("_size", F.size("_sh"))
     )
     return _minhash_pairs_on_shingles(sh, num_hashes, bands, threshold, verify)
@@ -904,13 +1027,12 @@ def simhash_fingerprints(
     return _simhash_fps_on_tok(tok, n_bands, portable_hash, n_words)
 
 
-def _simhash_fps_on_tok(
-    tok: DataFrame, n_bands: int, portable_hash: bool, n_words: int
-) -> DataFrame:
-    """Bit-vote + band assembly of :func:`simhash_fingerprints`, over an
-    already-exploded ``(_id, t)`` token frame — shared by the fused
-    collapse path (tokens come from the cached token array, text is not
-    re-tokenized) and the direct text path."""
+def _band_layout(
+    n_bands: int, portable_hash: bool, n_words: int
+) -> tuple[int, list[str], list[int]]:
+    """(word_bits, word_names, bands_per_word) of a fingerprint layout,
+    emitting the narrow-band warning — shared by the JVM agg path and the
+    Arrow fingerprint path so both warn identically."""
     word_bits = 60 if portable_hash else 64
     word_names = ["simhash"] + [f"simhash{w}" for w in range(1, n_words)]
     # distribute bands over words (near-equal counts), widths within word
@@ -927,8 +1049,110 @@ def _simhash_fps_on_tok(
             f"(<12) — ~{1 << min_width} buckets/band makes band self-joins "
             f"near-quadratic at large corpus sizes; widen the fingerprint "
             f"(n_words) or lower the radius/bands",
-            stacklevel=2,
+            stacklevel=3,
         )
+    return word_bits, word_names, bands_per_word
+
+
+def _attach_band_cols(
+    out: DataFrame,
+    word_names: list[str],
+    bands_per_word: list[int],
+    word_bits: int,
+) -> DataFrame:
+    """Append band0..band{B-1} columns (contiguous bit chunks per word)."""
+    band_id = 0
+    for w, nb in enumerate(bands_per_word):
+        offset = 0
+        for width in _band_widths(word_bits, nb) if nb > 0 else []:
+            out = out.withColumn(
+                f"band{band_id}",
+                F.shiftrightunsigned(F.col(word_names[w]), offset).bitwiseAND(
+                    F.lit((1 << width) - 1)
+                ),
+            )
+            offset += width
+            band_id += 1
+    return out
+
+
+_SIMHASH_WORD_UDFS: dict[int, object] = {}
+
+
+def _simhash_words_udf(n_words: int):
+    """pandas_udf: token array → array<long> of PORTABLE simhash words.
+
+    Exact mirror of the JVM bit-vote aggregation for ``portable_hash=True``
+    (word w's token hash = int of md5 hex digits [15w, 15w+15) — identical
+    to ``conv(substring(md5(t), 1+15w, 15), 16, 10)``; bit i set iff
+    strictly more tokens have bit i set than clear), but computed per Arrow
+    batch: md5 via hashlib (bit-identical), the 60-bit vote tally as one
+    (n_tokens × 60) numpy popcount per word. Replaces the exploded-token
+    shuffle + 60·W conditional-sum aggregation with a scan-riding
+    projection — the token stream never leaves its scan task (guide §4.2;
+    measured ~4× on the sf1.0 portable miners)."""
+    if n_words not in _SIMHASH_WORD_UDFS:
+        import numpy as np
+
+        shifts = np.arange(60, dtype=np.uint64)
+
+        @F.pandas_udf("array<long>")
+        def _udf(tok_lists: pd.Series) -> pd.Series:
+            out = []
+            for toks in tok_lists:
+                hexes = [
+                    hashlib.md5(t.encode("utf-8")).hexdigest() for t in toks
+                ]
+                n = len(hexes)
+                words = []
+                for w in range(n_words):
+                    lo = 15 * w
+                    vals = np.array(
+                        [int(h[lo : lo + 15], 16) for h in hexes],
+                        dtype=np.uint64,
+                    )
+                    ones = ((vals[:, None] >> shifts) & np.uint64(1)).sum(
+                        axis=0, dtype=np.int64
+                    )
+                    # vote > 0  ⟺  ones*2 > n (votes are ones - (n - ones))
+                    bits = (2 * ones > n).astype(np.uint64)
+                    words.append(int((bits << shifts).sum()))
+                out.append(words)
+            return pd.Series(out)
+
+        _SIMHASH_WORD_UDFS[n_words] = _udf
+    return _SIMHASH_WORD_UDFS[n_words]
+
+
+def _simhash_fps_arrow(
+    tokf: DataFrame, n_bands: int, n_words: int
+) -> DataFrame:
+    """Portable-hash fingerprint frame from a ``(_id, _tok)`` token-array
+    frame via the Arrow kernel — same schema and values as
+    :func:`_simhash_fps_on_tok` over the exploded tokens (docs with no
+    tokens produce no row there — the explode drops them — so they are
+    filtered here)."""
+    word_bits, word_names, bands_per_word = _band_layout(n_bands, True, n_words)
+    words = tokf.filter(F.size("_tok") > 0).select(
+        "_id", _simhash_words_udf(n_words)(F.col("_tok")).alias("_w")
+    )
+    out = words.select(
+        "_id",
+        *[F.col("_w")[w].alias(word_names[w]) for w in range(n_words)],
+    )
+    return _attach_band_cols(out, word_names, bands_per_word, word_bits)
+
+
+def _simhash_fps_on_tok(
+    tok: DataFrame, n_bands: int, portable_hash: bool, n_words: int
+) -> DataFrame:
+    """Bit-vote + band assembly of :func:`simhash_fingerprints`, over an
+    already-exploded ``(_id, t)`` token frame — shared by the fused
+    collapse path (tokens come from the cached token array, text is not
+    re-tokenized) and the direct text path."""
+    word_bits, word_names, bands_per_word = _band_layout(
+        n_bands, portable_hash, n_words
+    )
     for w in range(n_words):
         tok = tok.withColumn(f"h{w}", _word_hash(w, portable_hash))
     one = F.lit(1).cast("long")
@@ -954,19 +1178,7 @@ def _simhash_fps_on_tok(
             )
         fps.append(fp.alias(word_names[w]))
     out = agg.select("_id", *fps)
-    band_id = 0
-    for w, nb in enumerate(bands_per_word):
-        offset = 0
-        for width in _band_widths(word_bits, nb) if nb > 0 else []:
-            out = out.withColumn(
-                f"band{band_id}",
-                F.shiftrightunsigned(F.col(word_names[w]), offset).bitwiseAND(
-                    F.lit((1 << width) - 1)
-                ),
-            )
-            offset += width
-            band_id += 1
-    return out
+    return _attach_band_cols(out, word_names, bands_per_word, word_bits)
 
 
 def simhash_near_dup_pairs(
@@ -1037,15 +1249,24 @@ def _simhash_pairs_on_tokens(
 ) -> DataFrame:
     """Band-candidate join + exact popcount filter of
     :func:`simhash_near_dup_pairs`, over a prepared (materialized)
-    ``(_id, _tok, ...)`` token-array frame."""
-    fps = _materialize(
-        _simhash_fps_on_tok(
-            tokf.select("_id", F.explode("_tok").alias("t")),
-            n_bands=n_bands,
-            portable_hash=portable_hash,
-            n_words=n_words,
+    ``(_id, _tok, ...)`` token-array frame.
+
+    Portable mode fingerprints via the Arrow kernel
+    (:func:`_simhash_fps_arrow`): same words bit-for-bit, but the token
+    stream never explodes into a 60·W-column shuffle agg. The xxhash64
+    mode keeps the JVM agg (no Python md5 twin exists for Spark's
+    xxhash64 protocol)."""
+    if portable_hash:
+        fps = _materialize(_simhash_fps_arrow(tokf, n_bands, n_words))
+    else:
+        fps = _materialize(
+            _simhash_fps_on_tok(
+                tokf.select("_id", F.explode("_tok").alias("t")),
+                n_bands=n_bands,
+                portable_hash=portable_hash,
+                n_words=n_words,
+            )
         )
-    )
     word_names = ["simhash"] + [f"simhash{w}" for w in range(1, n_words)]
     # ONE self-join on exploded (band index, band value) keys — not
     # n_bands separate self-joins unioned (round-7: the unioned plan paid
