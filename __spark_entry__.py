@@ -76,7 +76,14 @@ def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     par = spark.sparkContext.defaultParallelism
     rg, nbytes = _scan_splittability(path)
     if rg < par and nbytes < 256 * 1024 * 1024:
-        df = df.repartition(par)
+        # HASH repartition on the leading column (the fixture tables all
+        # lead with a well-distributed id), not round-robin: round-robin
+        # first pays a LOCAL SORT of the whole input inside the single
+        # scan task (spark.sql.execution.sortBeforeRepartition,
+        # SPARK-23207 — needed there because retried tasks must reproduce
+        # the row→partition assignment), while hash partitioning is a
+        # deterministic per-row function — retry-safe with no sort.
+        df = df.repartition(par, F.col(df.columns[0]))
     return df
 
 
@@ -739,14 +746,24 @@ def q_streaming_drift_append_events(spark: SparkSession, sf_dir: str) -> DataFra
         "value": 5.0,
         "props": "{}",
     }
-    sentinel = spark.createDataFrame(
-        [tuple(_sent[f.name] for f in ev.schema.fields)], ev.schema
-    )
-    sent_out = stage_dir + "_sent"
-    sentinel.coalesce(1).write.parquet(sent_out)
-    part = next(f for f in os.listdir(sent_out) if f.endswith(".parquet"))
+    # write the 1-row sentinel parquet DRIVER-SIDE with pyarrow against the
+    # source file's own arrow schema (round 7): the previous
+    # createDataFrame + coalesce(1).write.parquet spent a whole Spark job +
+    # commit protocol (~3 s of this query's wall time) materializing one
+    # row; identical bytes-on-disk semantics — same column types, same
+    # values — so micro-batch 2 and the watermark eviction are unchanged
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src_schema = pq.read_schema(ev_path)
     fb = os.path.join(stage_dir, "b_sentinel.parquet")
-    shutil.copy(os.path.join(sent_out, part), fb)
+    pq.write_table(
+        pa.Table.from_pydict(
+            {name: [_sent[name]] for name in src_schema.names},
+            schema=src_schema,
+        ),
+        fb,
+    )
     import time as _time
 
     now = _time.time()  # file order = micro-batch order: events, sentinel
@@ -787,7 +804,6 @@ def q_streaming_drift_append_events(spark: SparkSession, sf_dir: str) -> DataFra
     rows = spark.table(qname)
     os.unlink(bl_path)
     shutil.rmtree(stage_dir, ignore_errors=True)
-    shutil.rmtree(sent_out, ignore_errors=True)
     return rows.select(
         "window_start",
         "window_end",

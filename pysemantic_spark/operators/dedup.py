@@ -556,6 +556,9 @@ def _ngram_pairs_on_shingles(
                 "_hdup", F.col("_hsz") - F.size(F.array_distinct("_shh"))
             )
         )
+        # (join strategy left to the planner here: a forced shuffle_hash
+        # was measured ~1.5× SLOWER than the default on this occurrence-
+        # stream attach — unlike the minhash verify below, where it wins)
         ha = hsets.select(
             F.col("_id").alias("id_a"),
             F.col("_shh").alias("hh_a"),
@@ -1005,9 +1008,22 @@ def _minhash_pairs_on_shingles(
     )
     if not verify:
         return cand
+    # shuffle_hash for the same reason as the prefix path's attach joins:
+    # build on the doc-bounded shingle side, stream the candidate pairs —
+    # no sort of the candidate stream (measured 4.3 s → 2.6 s at sf1.0)
     out = (
-        cand.join(sh.withColumnsRenamed({"_id": "id_a", "_sh": "sh_a"}), "id_a")
-        .join(sh.withColumnsRenamed({"_id": "id_b", "_sh": "sh_b"}), "id_b")
+        cand.join(
+            sh.withColumnsRenamed({"_id": "id_a", "_sh": "sh_a"}).hint(
+                "shuffle_hash"
+            ),
+            "id_a",
+        )
+        .join(
+            sh.withColumnsRenamed({"_id": "id_b", "_sh": "sh_b"}).hint(
+                "shuffle_hash"
+            ),
+            "id_b",
+        )
         .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
         .withColumn(
             "jaccard",
