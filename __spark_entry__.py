@@ -968,9 +968,11 @@ def q_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     equals the brute-force pair set. The blocked-GEMM twin
     (embedding_neardup_exact) checks the same set exactly at every
     scale."""
-    emb = _read(spark, sf_dir, "embeddings").withColumn(
-        "embedding", F.col("embedding").cast("array<double>")
-    )
+    # NO cast to array<double> here (round 7): the operator's verify GEMM
+    # upcasts float32→float64 exactly, so the emitted cosines are
+    # bit-identical while the fixture's float32 vectors shuffle at half
+    # the width
+    emb = _read(spark, sf_dir, "embeddings")
     return similarity.embedding_near_dup_pairs(
         emb, dim=64, threshold=0.4, n_planes=8, n_tables=24, n_probe_bits=1
     )
@@ -980,9 +982,9 @@ def q_embedding_neardup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT all-pairs cosine near-dup via blocked GEMM
     (cosine_pairs_exact): the brute-force baseline the LSH path is measured
     against — deterministic, seed-free, fully oracle-checkable."""
-    emb = _read(spark, sf_dir, "embeddings").withColumn(
-        "embedding", F.col("embedding").cast("array<double>")
-    )
+    # same no-cast rationale as q_embedding_neardup_pairs: the blocked
+    # GEMM upcasts float32→float64 exactly inside the kernel
+    emb = _read(spark, sf_dir, "embeddings")
     return similarity.cosine_pairs_exact(emb, threshold=0.4, n_blocks=16).select(
         "id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim")
     )

@@ -132,9 +132,13 @@ def cosine_pairs_exact(
     data movement, irreducible without approximation — use the LSH paths
     when the threshold is selective enough for them to prune).
     """
+    # vectors shuffle in their SOURCE element type (round 7): the kernel
+    # below upcasts to float64 before any arithmetic, and float32→float64
+    # is exact, so results are bit-identical while a float32 corpus moves
+    # half the bytes through the n_blocks/2-fold all-pairs shuffle
     base = df.select(
         F.col(id_col).alias("vid"),
-        F.col(vec_col).cast("array<double>").alias("vec"),
+        F.col(vec_col).alias("vec"),
         F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int").alias("blk"),
     )
     packed = base.groupBy("blk").agg(
@@ -606,9 +610,13 @@ def embedding_near_dup_pairs(
     if n_probe_bits not in (0, 1):
         raise ValueError("n_probe_bits supports 0 (single) or 1 (multi-probe)")
     id_type = df.schema[id_col].dataType.simpleString()
+    # _vec keeps the SOURCE element type (round 7): the GEMM kernel
+    # upcasts to float64 (exact from float32), so a float32 corpus
+    # shuffles half the bytes through the bucket groupBy and the
+    # bucket-pair join with bit-identical cosines
     base = df.select(
         F.col(id_col).alias("_id"),
-        F.col(vec_col).cast("array<double>").alias("_vec"),
+        F.col(vec_col).alias("_vec"),
         # one Arrow matmul for all tables' buckets — NOT n_tables
         # interpreted fold expressions (10× at n_tables·n_planes ≳ 100)
         hyperplane_buckets_arrow(
