@@ -1203,6 +1203,19 @@ def _simhash_words_udf(n_words: int):
     return _SIMHASH_WORD_UDFS[n_words]
 
 
+def _simhash_words_arrow(tokf: DataFrame, n_words: int) -> DataFrame:
+    """Portable-hash fingerprint WORDS (no band columns) from a
+    ``(_id, _tok)`` token-array frame via the Arrow kernel."""
+    word_names = ["simhash"] + [f"simhash{w}" for w in range(1, n_words)]
+    words = tokf.filter(F.size("_tok") > 0).select(
+        "_id", _simhash_words_udf(n_words)(F.col("_tok")).alias("_w")
+    )
+    return words.select(
+        "_id",
+        *[F.col("_w")[w].alias(word_names[w]) for w in range(n_words)],
+    )
+
+
 def _simhash_fps_arrow(
     tokf: DataFrame, n_bands: int, n_words: int
 ) -> DataFrame:
@@ -1212,13 +1225,7 @@ def _simhash_fps_arrow(
     tokens produce no row there — the explode drops them — so they are
     filtered here)."""
     word_bits, word_names, bands_per_word = _band_layout(n_bands, True, n_words)
-    words = tokf.filter(F.size("_tok") > 0).select(
-        "_id", _simhash_words_udf(n_words)(F.col("_tok")).alias("_w")
-    )
-    out = words.select(
-        "_id",
-        *[F.col("_w")[w].alias(word_names[w]) for w in range(n_words)],
-    )
+    out = _simhash_words_arrow(tokf, n_words)
     return _attach_band_cols(out, word_names, bands_per_word, word_bits)
 
 
@@ -1232,6 +1239,17 @@ def _simhash_fps_on_tok(
     word_bits, word_names, bands_per_word = _band_layout(
         n_bands, portable_hash, n_words
     )
+    out = _simhash_words_on_tok(tok, portable_hash, n_words)
+    return _attach_band_cols(out, word_names, bands_per_word, word_bits)
+
+
+def _simhash_words_on_tok(
+    tok: DataFrame, portable_hash: bool, n_words: int
+) -> DataFrame:
+    """Bit-vote fingerprint WORDS (no band columns, no layout warning) over
+    an exploded ``(_id, t)`` token frame."""
+    word_bits = 60 if portable_hash else 64
+    word_names = ["simhash"] + [f"simhash{w}" for w in range(1, n_words)]
     for w in range(n_words):
         tok = tok.withColumn(f"h{w}", _word_hash(w, portable_hash))
     one = F.lit(1).cast("long")
@@ -1256,8 +1274,7 @@ def _simhash_fps_on_tok(
                 )
             )
         fps.append(fp.alias(word_names[w]))
-    out = agg.select("_id", *fps)
-    return _attach_band_cols(out, word_names, bands_per_word, word_bits)
+    return agg.select("_id", *fps)
 
 
 def simhash_near_dup_pairs(
@@ -1319,6 +1336,36 @@ def simhash_near_dup_pairs(
     )
 
 
+def _chunk_layout(
+    word_bits: int, n_words: int, max_hamming: int
+) -> tuple[int, int, list[tuple[int, int, int]]] | None:
+    """Pigeonhole QUERY-EXPANSION layout for the exact hamming-≤r join
+    (used when exhaustive banding would need sub-12-bit bands): the
+    fingerprint's n_words·word_bits bits are covered by ``m`` disjoint
+    chunks with m = ⌊r/3⌋+1 (so 3m > r and k = ⌊r/m⌋ ≤ 2); by pigeonhole
+    a pair within hamming ≤ r agrees within ≤ k bits on SOME chunk, so
+    expanding one side by all ≤k-bit flips of each chunk and equi-joining
+    on (chunk idx, value) is EXACT-recall. Returns (m, k, chunks) with
+    chunks = [(word idx, bit offset, width)], or None when the layout is
+    unusable (chunks too wide for a bounded expansion, or r < 3)."""
+    if max_hamming < 3:
+        return None
+    m = max(max_hamming // 3 + 1, n_words)
+    k = max_hamming // m
+    chunks: list[tuple[int, int, int]] = []
+    per_word = _band_widths(m, n_words) if n_words > 1 else [m]
+    for w, nc in enumerate(per_word):
+        off = 0
+        for width in _band_widths(word_bits, nc) if nc > 0 else []:
+            chunks.append((w, off, width))
+            off += width
+    # expansion size per chunk is C(width,0..k) — cap it so the probe-side
+    # blowup stays bounded (~250 rows/chunk at 20 bits, k=2)
+    if any(width > 30 or width < k + 1 for _, _, width in chunks):
+        return None
+    return m, k, chunks
+
+
 def _simhash_pairs_on_tokens(
     tokf: DataFrame,
     max_hamming: int,
@@ -1326,15 +1373,79 @@ def _simhash_pairs_on_tokens(
     portable_hash: bool,
     n_words: int,
 ) -> DataFrame:
-    """Band-candidate join + exact popcount filter of
+    """Candidate generation + exact popcount filter of
     :func:`simhash_near_dup_pairs`, over a prepared (materialized)
     ``(_id, _tok, ...)`` token-array frame.
 
     Portable mode fingerprints via the Arrow kernel
-    (:func:`_simhash_fps_arrow`): same words bit-for-bit, but the token
+    (:func:`_simhash_words_arrow`): same words bit-for-bit, but the token
     stream never explodes into a 60·W-column shuffle agg. The xxhash64
     mode keeps the JVM agg (no Python md5 twin exists for Spark's
-    xxhash64 protocol)."""
+    xxhash64 protocol).
+
+    Two exact candidate schemes (round 7):
+
+    - **Band join** — exhaustive n_bands = r+1 banding (or the caller's
+      explicit recall-lossy n_bands): candidates = pairs equal in ≥1
+      band. With narrow bands this degenerates: at 60 bits / r=8 the
+      9 bands are 6-7 bits wide (≤128 buckets) and the measured candidate
+      stream at 50k docs was 9.1×10⁸ pairs — the join spends its whole
+      wall time PRODUCING rows that the popcount immediately discards.
+    - **Pigeonhole query expansion** (:func:`_chunk_layout`) — used
+      automatically when banding is exhaustive AND its narrowest band
+      would be <12 bits: cover the fingerprint with m = ⌊r/3⌋+1 chunks
+      (20 bits each at 60/r=8), so a qualifying pair agrees within
+      k = ⌊r/m⌋ ≤ 2 bits on some chunk; one side explodes to its
+      1+w+C(w,2) ≤k-bit chunk flips (211/chunk at 20 bits) and
+      equi-joins the other side's exact chunk values. Wider keys cut the
+      measured candidate stream 3.9× (9.1×10⁸ → 2.3×10⁸) and the probe
+      side is a pure projection of the cached fingerprint frame, so the
+      only exchange left is the tiny survivor distinct. The planner
+      broadcasts the exact side at bench scale (3 rows/doc); at corpus
+      scales past the broadcast bound the same plan becomes a shuffle
+      join on (chunk, value) and keeps the candidate reduction.
+
+    Both schemes are EXACT (the output is the full hamming-≤r pair set),
+    so they are interchangeable only in the exhaustive case — a caller
+    forcing a recall-lossy n_bands keeps the band join, whose output the
+    banding itself defines."""
+    word_bits = 60 if portable_hash else 64
+    layout = None
+    if n_bands == max_hamming + 1:
+        per_word = _band_widths(n_bands, n_words) if n_words > 1 else [n_bands]
+        min_band_w = min(
+            bw
+            for nb in per_word
+            if nb > 0
+            for bw in _band_widths(word_bits, nb)
+        )
+        if min_band_w < 12:
+            layout = _chunk_layout(word_bits, n_words, max_hamming)
+    word_names = ["simhash"] + [f"simhash{w}" for w in range(1, n_words)]
+    if layout is not None:
+        if portable_hash:
+            fps = _materialize(_simhash_words_arrow(tokf, n_words))
+        else:
+            fps = _materialize(
+                _simhash_words_on_tok(
+                    tokf.select("_id", F.explode("_tok").alias("t")),
+                    portable_hash,
+                    n_words,
+                )
+            )
+        # MEASURED broadcast decision (same discipline as
+        # _BROADCAST_MEMBERS): the count() rides the just-persisted frame
+        # — the first action would materialize it anyway. The exact side
+        # is m rows/doc of ~32 bytes; under the cap it broadcasts and the
+        # probe side becomes a pure scan→explode→probe pipeline with NO
+        # exchange (the static planner can't see this through the
+        # Generate, and AQE still leaves the probe-side shuffle files).
+        # Past the cap the join falls back to the planner's shuffle
+        # strategy, which keeps the candidate reduction.
+        small = fps.count() * len(layout[2]) <= 2_000_000
+        return _simhash_pairs_expansion(
+            fps, word_names, max_hamming, layout, small
+        )
     if portable_hash:
         fps = _materialize(_simhash_fps_arrow(tokf, n_bands, n_words))
     else:
@@ -1346,7 +1457,6 @@ def _simhash_pairs_on_tokens(
                 n_words=n_words,
             )
         )
-    word_names = ["simhash"] + [f"simhash{w}" for w in range(1, n_words)]
     # ONE self-join on exploded (band index, band value) keys — not
     # n_bands separate self-joins unioned (round-7: the unioned plan paid
     # 2×n_bands exchanges + a union before the distinct; the exploded join
@@ -1374,11 +1484,94 @@ def _simhash_pairs_on_tokens(
     for w in range(n_words):
         h = F.bit_count(F.col(f"sha_{w}").bitwiseXOR(F.col(f"shb_{w}")))
         hamming = h if hamming is None else hamming + h
+    # popcount-filter BEFORE the distinct (round 7): the narrow exhaustive
+    # bands make the raw candidate stream O(Σ bucket²) rows — ~10⁸ at 50k
+    # docs with 60-bit/9-band fingerprints — and `distinct()` first paid a
+    # full exchange of all of them (32-byte rows, multi-GB). The hamming
+    # filter is a pure per-row function of (sha, shb), which are constants
+    # per doc pair, so filter∘distinct ≡ distinct∘filter — row-identical —
+    # but the filter runs inside the join's whole-stage-codegen pipeline
+    # and only TRUE near-dups (a ~10⁴× smaller set) reach the exchange.
     return (
-        cands.distinct()
-        .withColumn("hamming", hamming)
+        cands.withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
+        .distinct()
+    )
+
+
+def _simhash_pairs_expansion(
+    fps: DataFrame,
+    word_names: list[str],
+    max_hamming: int,
+    layout: tuple[int, int, list[tuple[int, int, int]]],
+    small: bool = False,
+) -> DataFrame:
+    """Pigeonhole query-expansion candidate join over a materialized
+    ``(_id, simhash[, simhash1..])`` fingerprint frame — see
+    :func:`_simhash_pairs_on_tokens` for the scheme and its exactness
+    argument. One side carries every ≤k-bit flip of each chunk (a pure
+    projection+explode of the cached frame — no shuffle); the other
+    carries the exact chunk values; survivors of the in-join popcount
+    filter are the only rows that ever reach an exchange."""
+    from itertools import combinations
+
+    _, k, chunks = layout
+    chunk_vals = [
+        F.shiftrightunsigned(F.col(word_names[w]), off).bitwiseAND(
+            F.lit((1 << width) - 1)
+        )
+        for (w, off, width) in chunks
+    ]
+    # One probe branch per chunk, unioned: each branch explodes a LITERAL
+    # flip array (constant-folded to a single array object) and XORs the
+    # chunk value AFTER the explode. Building one array of 633 xor-structs
+    # per row instead blew the whole-stage-codegen method limit and
+    # de-codegen'd the entire probe stage — explode, join, popcount and
+    # the distinct's partial aggregate all ran interpreted, measured ~10×
+    # slower than this shape on the same candidate volume.
+    sha_cols = [
+        F.col(wn).alias(f"sha_{w}") for w, wn in enumerate(word_names)
+    ]
+    probe = None
+    for ci, ((_, _, width), cv) in enumerate(zip(chunks, chunk_vals)):
+        flips = [0]
+        if k >= 1:
+            flips += [1 << p for p in range(width)]
+        if k >= 2:
+            flips += [
+                (1 << p) | (1 << q) for p, q in combinations(range(width), 2)
+            ]
+        branch = fps.select(
+            F.col("_id").alias("id_a"),
+            *sha_cols,
+            F.lit(ci).alias("ci"),
+            cv.alias("_cv0"),
+            F.explode(F.array(*[F.lit(int(f)) for f in flips])).alias("_f"),
+        ).select(
+            "id_a",
+            *[f"sha_{w}" for w in range(len(word_names))],
+            "ci",
+            F.col("_cv0").bitwiseXOR(F.col("_f")).alias("cv"),
+        )
+        probe = branch if probe is None else probe.unionByName(branch)
+    exact = fps.select(
+        F.col("_id").alias("id_b"),
+        *[F.col(wn).alias(f"shb_{w}") for w, wn in enumerate(word_names)],
+        F.posexplode(F.array(*chunk_vals)).alias("ci", "cv"),
+    )
+    cands = probe.join(_maybe_broadcast(exact, small), on=["ci", "cv"]).filter(
+        F.col("id_a") < F.col("id_b")
+    )
+    hamming = None
+    for w in range(len(word_names)):
+        h = F.bit_count(F.col(f"sha_{w}").bitwiseXOR(F.col(f"shb_{w}")))
+        hamming = h if hamming is None else hamming + h
+    return (
+        cands.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+        .distinct()
     )
 
 

@@ -136,3 +136,78 @@ def test_corpus_clean_conditional_agg_matches_filtered_groupby(spark):
     )
     assert old.exceptAll(new).count() == 0
     assert new.exceptAll(old).count() == 0
+
+
+def test_simhash_expansion_equals_banding(spark):
+    """The pigeonhole query-expansion candidate scheme (fires when
+    exhaustive banding would need sub-12-bit bands: 60-bit portable word,
+    r=8) must produce EXACTLY the band-join pair set — both are exact, so
+    the outputs must be row-identical including the hamming values."""
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(30)]
+    rows = []
+    for i in range(250):
+        toks = [rng.choice(vocab) for _ in range(rng.randint(8, 40))]
+        rows.append((i, " ".join(toks)))
+    # planted near-dups: light mutations of earlier docs
+    for i in range(250, 300):
+        base = list(rows[rng.randrange(0, 250)][1].split())
+        base[rng.randrange(0, len(base))] = rng.choice(vocab)
+        rows.append((i, " ".join(base)))
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    tokf = dedup._materialize(
+        df.select(F.col("doc_id").alias("_id"), dedup.tokens("text").alias("_tok"))
+    )
+    r, n_bands, n_words, portable = 8, 9, 1, True
+    layout = dedup._chunk_layout(60, n_words, r)
+    assert layout is not None and layout[0] == 3 and layout[1] == 2
+    word_names = ["simhash"]
+    fps_words = dedup._materialize(dedup._simhash_words_arrow(tokf, n_words))
+    via_expansion = {
+        (x["id_a"], x["id_b"], x["hamming"])
+        for x in dedup._simhash_pairs_expansion(
+            fps_words, word_names, r, layout, small=True
+        ).collect()
+    }
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")  # narrow-band warning expected
+        fps = dedup._materialize(dedup._simhash_fps_arrow(tokf, n_bands, n_words))
+    bucketed = fps.select(
+        "_id",
+        *word_names,
+        F.posexplode(
+            F.array(*[F.col(f"band{b}") for b in range(n_bands)])
+        ).alias("bidx", "bval"),
+    )
+    a, c = bucketed.alias("a"), bucketed.alias("b")
+    via_banding = {
+        (x["id_a"], x["id_b"], x["hamming"])
+        for x in (
+            a.join(c, on=["bidx", "bval"])
+            .filter(F.col("a._id") < F.col("b._id"))
+            .select(
+                F.col("a._id").alias("id_a"),
+                F.col("b._id").alias("id_b"),
+                F.bit_count(
+                    F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+                ).alias("hamming"),
+            )
+            .filter(F.col("hamming") <= r)
+            .distinct()
+        ).collect()
+    }
+    dedup.release_intermediates()
+    assert via_expansion == via_banding
+    assert via_banding, "fixture produced no near-dup pairs - vacuous test"
+
+
+def test_simhash_expansion_fires_for_driver_config(spark):
+    """The operator auto-selects the expansion scheme exactly when banding
+    is exhaustive and would be sub-12-bit; the driver's wide config (2x60
+    bits, r=9 -> 12-bit bands) must stay on the band join."""
+    assert dedup._chunk_layout(60, 1, 8) is not None
+    assert dedup._chunk_layout(60, 1, 2) is None  # r<3: bounded expansion n/a
+    # r=9 over 2 words: m = max(4, 2) = 4 chunks of 30 bits, k=2 - usable,
+    # but the 12-bit bands mean the pairs path never asks for it
+    lay = dedup._chunk_layout(60, 2, 9)
+    assert lay is not None and lay[0] == 4 and lay[1] == 2
