@@ -476,6 +476,29 @@ def ivf_assign_expr(vec_col: Column, centroids: np.ndarray) -> Column:
     return best_id
 
 
+def ivf_assign_arrow(vec_col: Column, centroids: np.ndarray) -> Column:
+    """Arrow-batched twin of :func:`ivf_assign_expr`: every (row, centroid)
+    squared-L2 distance via one BLAS matmul per batch instead of
+    n_centroids interpreted higher-order folds per row (the fold exprs do
+    not whole-stage-codegen — same ~10× gap as the LSH bucket kernel,
+    :func:`hyperplane_buckets_arrow`). Ties break to the LOWEST centroid
+    id in both paths (strict `<` there, first-occurrence argmin here); the
+    accumulation orders differ, so a vector exactly equidistant to two
+    centroids up to float error could flip — the same measure-zero caveat
+    as the bucket kernel, irrelevant off the tie set."""
+    C = np.ascontiguousarray(np.asarray(centroids, dtype=np.float64))
+    c_sq = (C * C).sum(axis=1)
+
+    @F.pandas_udf("int")
+    def _assign(vecs: pd.Series) -> pd.Series:
+        X = np.stack(vecs.to_numpy()).astype(np.float64, copy=False)
+        # argmin_c ||x-c||² = argmin_c (||c||² − 2·x·c); ||x||² is constant
+        d = c_sq[None, :] - 2.0 * (X @ C.T)
+        return pd.Series(d.argmin(axis=1).astype("int32"))
+
+    return _assign(vec_col)
+
+
 def ivf_probe_expr(
     vec_col: Column, centroids: np.ndarray, n_probe: int
 ) -> Column:
@@ -535,7 +558,10 @@ def ivf_topk(
         corpus.select(
             F.col(id_col).alias("vec_id"),
             F.col(vec_col).alias("_cvec"),
-            ivf_assign_expr(F.col(vec_col), cents).alias("_cluster"),
+            # Arrow kernel, not the interpreted fold exprs: the CORPUS side
+            # pays n_centroids × dim interpreted ops per row otherwise
+            # (round 7; the tiny query side keeps the JVM exprs)
+            ivf_assign_arrow(F.col(vec_col), cents).alias("_cluster"),
         )
     )
     qb = queries.select(
