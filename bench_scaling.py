@@ -510,7 +510,13 @@ def main() -> None:
         return round(p["sec_n"] / (4 * p["sec_4n"]), 3)
 
     pair_effs = [_pair_eff(p) for p in gating_pairs]
-    eff_pairwise = sorted(pair_effs)[len(pair_effs) // 2]
+    # averaged median (two middle elements on even counts) — the SAME
+    # estimator the bootstrap CI and tools/scaling_synthesis.py use, so
+    # the gating number and the pooled synthesis can't drift apart on
+    # even-sized healthy subsets (round-6 ADVICE)
+    _pe = sorted(pair_effs)
+    _n = len(_pe)
+    eff_pairwise = _pe[_n // 2] if _n % 2 else (_pe[_n // 2 - 1] + _pe[_n // 2]) / 2
     # Bootstrap 95% CI of the pair-eff median (deterministic LCG resampler
     # — reproducible, and random module stays untouched): small-sample
     # honesty for the gating estimator. Reported, not gating.

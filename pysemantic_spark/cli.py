@@ -123,8 +123,8 @@ def _requalify(args) -> int:
     except ValueError as e:
         print(str(e), file=sys.stderr)
         return 1
-    except OSError as e:
-        # wrong --table path / bucketize never ran: operator-facing verbs
+    except FileNotFoundError as e:
+        # bucketize never ran / wrong --table path: operator-facing verbs
         # exit 1 with a message, never a raw traceback
         print(
             f"no checkpoint manifest at {io.manifest_path} ({e}) — run "
@@ -132,6 +132,11 @@ def _requalify(args) -> int:
             f"--bucket-key …` first",
             file=sys.stderr,
         )
+        return 1
+    except OSError as e:
+        # other I/O failures (permissions, disk) are NOT a missing
+        # manifest — don't mislead the operator (round-6 ADVICE)
+        print(f"requalify failed reading {io.manifest_path}: {e}", file=sys.stderr)
         return 1
     print(json.dumps({
         "table": args.table,

@@ -718,9 +718,14 @@ def expand_collapsed_pairs(
     return cross.unionByName(intra)
 
 
-# clone-map rows (two longs each) below this measured size broadcast in the
-# expansion joins: ~16 MB serialized at the cap, far under executor memory,
-# and the alternative is 4-6 tiny-but-scheduled shuffle stages per miner call
+# clone-map rows below this measured size broadcast in the expansion
+# joins: ~16 MB serialized at the cap for LONG ids (two 8-byte values per
+# row), far under executor memory, and the alternative is 4-6
+# tiny-but-scheduled shuffle stages per miner call. NOTE the estimate
+# assumes fixed-width ids: with long STRING doc ids the map can be an
+# order of magnitude larger (row count is the cap, not bytes) — still
+# bounded (~100-byte ids ≈ 200 MB worst case), but size the cap down if
+# ids are fat strings and executors are small (round-6 ADVICE).
 _BROADCAST_MEMBERS = 1_000_000
 
 

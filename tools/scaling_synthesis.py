@@ -68,6 +68,11 @@ def synthesize(paths: list[str] | None = None) -> dict:
             r = json.load(f)
         if not str(r.get("master_n", "")).startswith(POOL_MASTERS[0]):
             continue
+        # the 4N side must be footprint-sized too: a history record pairing
+        # a 1-core N config with e.g. a 2-core 4N config samples a
+        # different protocol and must not pool (round-6 ADVICE)
+        if not str(r.get("master_4n", "")).startswith(POOL_MASTERS[1]):
+            continue
         stamp = r.get("measured_at", os.path.basename(p))
         if stamp in seen:  # scaling_latest may duplicate a history file
             continue
