@@ -57,7 +57,9 @@ def _scan_splittability(path: str) -> tuple[int, int]:
     return rg, nbytes
 
 
-def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+def _read(
+    spark: SparkSession, sf_dir: str, table: str, widen: bool = True
+) -> DataFrame:
     """Read a fixture table; WIDEN row-group-limited scans (round 7).
 
     The fixture tables are single parquet files with ≤6 row groups, so a
@@ -75,7 +77,12 @@ def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     df = spark.read.parquet(path)
     par = spark.sparkContext.defaultParallelism
     rg, nbytes = _scan_splittability(path)
-    if rg < par and nbytes < 256 * 1024 * 1024:
+    # widen=False: callers whose FIRST operator is itself an exchange (a
+    # groupBy/bucketing shuffle) or whose per-row scan work is trivial opt
+    # out — the widening repartition would be a pure extra exchange there
+    # (measured: lsh_topk 2.2 → 1.5 s at sf1.0 without it, while the
+    # interpreted brute-force scorer of cosine_topk NEEDS it: 0.4 vs 1.7 s)
+    if widen and rg < par and nbytes < 256 * 1024 * 1024:
         # HASH repartition on the leading column (the fixture tables all
         # lead with a well-distributed id), not round-robin: round-robin
         # first pays a LOCAL SORT of the whole input inside the single
@@ -847,7 +854,12 @@ def q_lsh_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixture's ~cos 0.3-0.45 neighbor band (q≈0.63), miss (1−p)^16 ≈ 0.08 —
     measured recall@5 = 1.0 for all 5 queries at sf0.01 and ≥ 0.6 at
     sf0.1; gate at 0.6."""
-    emb = _read(spark, sf_dir, "embeddings").withColumn(
+    # widen=False (round 7): every heavy phase of this plan re-partitions
+    # anyway (bucket groupBy, candidate distinct), so the scan-widening
+    # exchange was pure overhead — 2.2 → 1.5 s at sf1.0. Result-identical:
+    # buckets are per-row functions and the top-k window breaks ties by
+    # vec_id, so the output never depends on partition layout.
+    emb = _read(spark, sf_dir, "embeddings", widen=False).withColumn(
         "embedding", F.col("embedding").cast("array<double>")
     )
     queries = emb.filter(F.col("vec_id") < 5).select(
